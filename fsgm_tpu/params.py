@@ -1,0 +1,185 @@
+"""Parameter dataclasses for the TPU-native SGM / fSGM engine.
+
+Capability parity target: the reference `eglrp/fSGM` exposes a `params`
+struct (P1, P2, disparity range, census window, path count, pyramid levels)
+per SURVEY.md §5 "Config / flag system".  The reference checkout was empty at
+survey time (SURVEY.md §0), so the field set below is derived from
+BASELINE.json's five configs, which fully enumerate the required knobs.
+
+All parameters are static (hashable, frozen) so they can be closed over by
+`jax.jit` without retracing hazards.  JSON round-trip provided for the CLI
+and the `configs/*.json` presets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+# 8-path direction set: (dy, dx) of the path step r; the predecessor of
+# pixel p along path r is p - r.  (Hirschmueller, PAMI 2008, Sec. 2.3.)
+DIRS_8: Tuple[Tuple[int, int], ...] = (
+    (0, 1), (0, -1), (1, 0), (-1, 0),
+    (1, 1), (1, -1), (-1, 1), (-1, -1),
+)
+
+# 16-path set adds the eight "knight-move" directions (SURVEY.md §7.3 item 3).
+DIRS_16: Tuple[Tuple[int, int], ...] = DIRS_8 + (
+    (1, 2), (1, -2), (-1, 2), (-1, -2),
+    (2, 1), (2, -1), (-2, 1), (-2, -1),
+)
+
+# Sentinel for invalidated pixels in disparity / flow fields (post LR-check).
+INVALID = -1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class SGMParams:
+    """Stereo SGM configuration.
+
+    Integer-exact pipeline: census -> Hamming cost (u8) -> path aggregation
+    (u16-range) -> WTA.  Everything up to WTA is integer arithmetic so golden
+    parity is exact, per SURVEY.md §4.
+    """
+
+    max_disp: int = 64                 # D: disparities searched, d in [0, D)
+    p1: int = 7                        # small smoothness penalty (|dd| == 1)
+    p2: int = 100                      # large smoothness penalty (|dd| > 1)
+    num_paths: int = 8                 # 8 or 16 aggregation paths
+    census_window: Tuple[int, int] = (5, 5)   # (height, width), odd; <= 63 bits
+    adaptive_p2: bool = False          # P2' = max(P1+1, P2 // max(1, |dI|))
+    subpixel: bool = True              # quadratic (parabola) refinement
+    lr_check: bool = True              # left-right consistency check
+    lr_max_diff: int = 1               # |d_L - d_R| tolerance in pixels
+    median_filter: bool = True         # 3x3 median post-filter
+    invalid_cost: int = 255            # cost for out-of-range matches (u8 max)
+
+    def __post_init__(self):
+        ch, cw = self.census_window
+        bits = ch * cw - 1
+        if bits > 63:
+            raise ValueError(f"census window {self.census_window} needs {bits} bits > 63")
+        if ch % 2 == 0 or cw % 2 == 0:
+            raise ValueError("census window dims must be odd")
+        if self.num_paths not in (4, 8, 16):
+            raise ValueError("num_paths must be 4, 8 or 16")
+        # u16 discipline (SURVEY.md §7.3 item 5): S = sum_r L_r with
+        # L_r <= Cmax + P2 must fit u16.
+        cmax = min(bits, self.invalid_cost)
+        if self.num_paths * (cmax + self.p2) >= 1 << 16:
+            raise ValueError(
+                f"S overflow risk: {self.num_paths}*({cmax}+{self.p2}) >= 2^16; "
+                "lower P2 or use fewer paths")
+
+    @property
+    def dirs(self) -> Tuple[Tuple[int, int], ...]:
+        if self.num_paths == 16:
+            return DIRS_16
+        return DIRS_8[: self.num_paths]
+
+    @property
+    def census_bits(self) -> int:
+        ch, cw = self.census_window
+        return ch * cw - 1
+
+    @property
+    def s_invalid(self) -> int:
+        """Fill value strictly larger than any achievable S, used for
+        out-of-range entries in the right-WTA S-volume trick."""
+        return self.num_paths * (self.invalid_cost + self.p2) + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class FlowParams:
+    """fSGM optical-flow configuration (hierarchical 2D search).
+
+    At each pyramid level the label space is the (2w+1)^2 grid of integer
+    flow offsets centered on the 2x-upsampled coarser flow (SURVEY.md §3.2).
+    """
+
+    search_radius: int = 4             # w: labels = (2w+1)^2
+    levels: int = 4                    # pyramid levels (level 0 = full res)
+    p1: int = 7
+    p2: int = 100
+    census_window: Tuple[int, int] = (5, 5)
+    adaptive_p2: bool = False
+    subpixel: bool = True              # separable 2D parabola
+    fb_check: bool = True              # forward-backward consistency (finest level)
+    fb_max_diff: float = 1.0
+    median_filter: bool = True
+    invalid_cost: int = 255
+
+    def __post_init__(self):
+        ch, cw = self.census_window
+        if ch * cw - 1 > 63:
+            raise ValueError("census window too large")
+        num_labels = (2 * self.search_radius + 1) ** 2
+        cmax = min(ch * cw - 1, self.invalid_cost)
+        if 8 * (cmax + self.p2) >= 1 << 16:
+            raise ValueError("S overflow risk in flow aggregation")
+        del num_labels
+
+    @property
+    def num_labels(self) -> int:
+        return (2 * self.search_radius + 1) ** 2
+
+    @property
+    def window_extent(self) -> int:
+        return 2 * self.search_radius + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class DistParams:
+    """Distribution configuration (SURVEY.md §2.2/§2.3).
+
+    tiles_y/tiles_x shard the image spatially across chips (halo-wavefront
+    exchange over ICI); frame_axis shards independent frames across hosts
+    (DCN).  tile_mode 'exact' = bit-true wavefront; 'fast' = two-pass margin
+    re-injection (SURVEY.md §7.3 item 1).
+    """
+
+    tiles_y: int = 1
+    tiles_x: int = 1
+    frame_shards: int = 1
+    tile_mode: str = "exact"           # 'exact' | 'fast'
+    margin: int = 32                   # re-injection margin for 'fast' mode
+
+    def __post_init__(self):
+        if self.tile_mode not in ("exact", "fast"):
+            raise ValueError("tile_mode must be 'exact' or 'fast'")
+
+
+def _to_dict(p) -> dict:
+    d = dataclasses.asdict(p)
+    d["__class__"] = type(p).__name__
+    return d
+
+
+_CLASSES = {"SGMParams": SGMParams, "FlowParams": FlowParams, "DistParams": DistParams}
+
+
+def params_to_json(p) -> str:
+    return json.dumps(_to_dict(p), indent=2, sort_keys=True)
+
+
+def params_from_json(s: str):
+    d = json.loads(s)
+    cls = _CLASSES[d.pop("__class__")]
+    for k, v in list(d.items()):
+        if isinstance(v, list):
+            d[k] = tuple(v)
+    return cls(**d)
+
+
+def load_preset(path: str):
+    """Load a params preset from configs/*.json (may hold several params)."""
+    with open(path) as f:
+        d = json.load(f)
+    out = {}
+    for key, sub in d.items():
+        if isinstance(sub, dict) and "__class__" in sub:
+            out[key] = params_from_json(json.dumps(sub))
+        else:
+            out[key] = sub
+    return out

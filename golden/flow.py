@@ -1,0 +1,249 @@
+"""Golden NumPy fSGM optical-flow model (hierarchical 2D search).
+
+Mirrors the reference flow driver (SURVEY.md §3.2 call stack): a
+coarse-to-fine Gaussian/box pyramid; at each level a 2D cost volume over a
+(2w+1)^2 label window centered on the 2x-upsampled coarser flow; SGM
+aggregation over the 2D label space (P1 for 4-neighbor labels, P2
+otherwise); WTA + separable 2D quadratic subpixel; forward-backward
+consistency at the finest level; per-level median filtering.
+
+Smoothness convention: the P1/P2 penalty acts on LABEL indices (window
+offsets), not absolute flow vectors — neighboring pixels with different
+rounded prior flow therefore see a P2-like jump, matching the common
+hierarchical-SGM-flow simplification.  Documented here once; the TPU model
+must match exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from fsgm_tpu.params import FlowParams, INVALID
+from golden.sgm import (
+    INF, census_transform, hamming, aggregate_one_path, median_filter_3x3,
+)
+from fsgm_tpu.params import DIRS_8
+import dataclasses
+
+
+# --------------------------------------------------------------------------
+# Pyramid helpers (integer-exact)
+# --------------------------------------------------------------------------
+
+def downsample2x(img: np.ndarray) -> np.ndarray:
+    """2x2 box downsample with round-half-up: (a+b+c+d+2)//4 on uint8.
+
+    Odd trailing row/col are dropped (floor semantics), matching the
+    level dims (H >> l, W >> l).
+    """
+    h, w = img.shape
+    h2, w2 = h // 2, w // 2
+    a = img[: 2 * h2 : 2, : 2 * w2 : 2].astype(np.int64)
+    b = img[: 2 * h2 : 2, 1 : 2 * w2 : 2].astype(np.int64)
+    c = img[1 : 2 * h2 : 2, : 2 * w2 : 2].astype(np.int64)
+    d = img[1 : 2 * h2 : 2, 1 : 2 * w2 : 2].astype(np.int64)
+    return ((a + b + c + d + 2) // 4).astype(img.dtype)
+
+
+def build_pyramid(img: np.ndarray, levels: int):
+    """[level0 (full res), level1, ...] — levels images total."""
+    pyr = [img]
+    for _ in range(levels - 1):
+        pyr.append(downsample2x(pyr[-1]))
+    return pyr
+
+
+def upsample_flow_2x(flow: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor 2x upsample of a (H, W, 2) flow field; values x2.
+
+    Edge-replicates to reach (out_h, out_w) when the finer level is odd.
+    """
+    up = np.repeat(np.repeat(flow, 2, axis=0), 2, axis=1) * 2.0
+    h, w = up.shape[:2]
+    if h < out_h:
+        up = np.concatenate([up, up[-1:].repeat(out_h - h, axis=0)], axis=0)
+    if w < out_w:
+        up = np.concatenate([up, up[:, -1:].repeat(out_w - w, axis=1)], axis=1)
+    return up[:out_h, :out_w]
+
+
+# --------------------------------------------------------------------------
+# 2D-label cost volume
+# --------------------------------------------------------------------------
+
+def cost_volume_flow(cen1: np.ndarray, cen2: np.ndarray,
+                     base_u: np.ndarray, base_v: np.ndarray,
+                     radius: int, invalid_cost: int = 255) -> np.ndarray:
+    """C[y, x, l] over labels l = (dv + w) * (2w+1) + (du + w).
+
+    Match target is pixel (y + base_v + dv, x + base_u + du) in image 2;
+    out-of-bounds targets get invalid_cost.  base_* are int64 per-pixel
+    offsets (rounded prior flow).
+    """
+    h, w = cen1.shape
+    ext = 2 * radius + 1
+    nl = ext * ext
+    c = np.full((h, w, nl), int(invalid_cost), dtype=np.int64)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    for dv in range(-radius, radius + 1):
+        for du in range(-radius, radius + 1):
+            l = (dv + radius) * ext + (du + radius)
+            ty = yy + base_v + dv
+            tx = xx + base_u + du
+            ok = (ty >= 0) & (ty < h) & (tx >= 0) & (tx < w)
+            tyc = np.clip(ty, 0, h - 1)
+            txc = np.clip(tx, 0, w - 1)
+            ham = hamming(cen1, cen2[tyc, txc])
+            c[:, :, l] = np.where(ok, ham, int(invalid_cost))
+    return c
+
+
+# --------------------------------------------------------------------------
+# 2D-label neighborhood and aggregation
+# --------------------------------------------------------------------------
+
+def make_neighbor_min_2d(radius: int):
+    """min over the 4-neighborhood in the (2w+1)x(2w+1) label grid, +P1."""
+    ext = 2 * radius + 1
+
+    def neighbor_min_2d(prev: np.ndarray, p1: int) -> np.ndarray:
+        n = prev.shape[0]
+        g = prev.reshape(n, ext, ext)
+        inf_row = np.full((n, 1, ext), INF, dtype=np.int64)
+        inf_col = np.full((n, ext, 1), INF, dtype=np.int64)
+        up = np.concatenate([inf_row, g[:, :-1, :]], axis=1)
+        down = np.concatenate([g[:, 1:, :], inf_row], axis=1)
+        left = np.concatenate([inf_col, g[:, :, :-1]], axis=2)
+        right = np.concatenate([g[:, :, 1:], inf_col], axis=2)
+        m = np.minimum(np.minimum(up, down), np.minimum(left, right))
+        return m.reshape(n, ext * ext) + p1
+
+    return neighbor_min_2d
+
+
+def aggregate_paths_flow(cost: np.ndarray, img: np.ndarray,
+                         params: FlowParams) -> np.ndarray:
+    """8-path SGM aggregation over the 2D label space."""
+    nm = make_neighbor_min_2d(params.search_radius)
+    s = np.zeros_like(cost)
+    for r in DIRS_8:
+        s += aggregate_one_path(cost, img, r, params.p1, params.p2,
+                                params.adaptive_p2, neighbor_min=nm)
+    return s
+
+
+# --------------------------------------------------------------------------
+# Extraction in 2D label space
+# --------------------------------------------------------------------------
+
+def wta_flow(s: np.ndarray, radius: int):
+    """argmin over labels -> integer (du, dv) offsets."""
+    ext = 2 * radius + 1
+    l = np.argmin(s, axis=2)
+    du = (l % ext) - radius
+    dv = (l // ext) - radius
+    return du.astype(np.int64), dv.astype(np.int64), l
+
+
+def subpixel_flow(s: np.ndarray, l_int: np.ndarray, radius: int):
+    """Separable parabola refinement: in u at fixed dv, in v at fixed du.
+
+    Same formula and gating as the stereo subpixel (golden/sgm.py).
+    """
+    ext = 2 * radius + 1
+    h, w, _ = s.shape
+    g = s.reshape(h, w, ext, ext).astype(np.float64)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    iu = l_int % ext
+    iv = l_int // ext
+
+    def parabola(idx, values_m, values_0, values_p, size):
+        interior = (idx > 0) & (idx < size - 1)
+        denom = values_m - 2.0 * values_0 + values_p
+        ok = interior & (denom > 0)
+        off = np.where(ok, (values_m - values_p) / np.maximum(2.0 * denom, 1e-12), 0.0)
+        return np.clip(off, -0.5, 0.5) * ok
+
+    iuc = np.clip(iu, 1, ext - 2)
+    ivc = np.clip(iv, 1, ext - 2)
+    du_off = parabola(iu, g[yy, xx, iv, iuc - 1], g[yy, xx, iv, iuc],
+                      g[yy, xx, iv, iuc + 1], ext)
+    dv_off = parabola(iv, g[yy, xx, ivc - 1, iu], g[yy, xx, ivc, iu],
+                      g[yy, xx, ivc + 1, iu], ext)
+    return du_off, dv_off
+
+
+# --------------------------------------------------------------------------
+# Pyramid driver
+# --------------------------------------------------------------------------
+
+def _flow_one_level(img1, img2, prior_flow, params: FlowParams):
+    """One pyramid level: cost -> aggregate -> WTA -> subpixel -> median."""
+    h, w = img1.shape
+    base_u = np.rint(prior_flow[..., 0]).astype(np.int64)
+    base_v = np.rint(prior_flow[..., 1]).astype(np.int64)
+    cen1 = census_transform(img1, params.census_window)
+    cen2 = census_transform(img2, params.census_window)
+    cost = cost_volume_flow(cen1, cen2, base_u, base_v,
+                            params.search_radius, params.invalid_cost)
+    s = aggregate_paths_flow(cost, img1, params)
+    du, dv, l_int = wta_flow(s, params.search_radius)
+    u = base_u.astype(np.float64) + du
+    v = base_v.astype(np.float64) + dv
+    if params.subpixel:
+        du_off, dv_off = subpixel_flow(s, l_int, params.search_radius)
+        u = u + du_off
+        v = v + dv_off
+    flow = np.stack([u, v], axis=-1)
+    if params.median_filter:
+        flow = np.stack([median_filter_3x3(flow[..., 0]),
+                         median_filter_3x3(flow[..., 1])], axis=-1)
+    return flow
+
+
+def fb_check(flow_fwd: np.ndarray, flow_bwd: np.ndarray, max_diff: float
+             ) -> np.ndarray:
+    """Forward-backward consistency: |F(p) + B(p + F(p))| <= max_diff.
+
+    Lookup rounds the forward-displaced position.  Failed pixels -> INVALID
+    in both components.
+    """
+    h, w = flow_fwd.shape[:2]
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    tx = xx + np.rint(flow_fwd[..., 0]).astype(np.int64)
+    ty = yy + np.rint(flow_fwd[..., 1]).astype(np.int64)
+    inb = (tx >= 0) & (tx < w) & (ty >= 0) & (ty < h)
+    txc = np.clip(tx, 0, w - 1)
+    tyc = np.clip(ty, 0, h - 1)
+    b = flow_bwd[tyc, txc]
+    err = np.sqrt((flow_fwd[..., 0] + b[..., 0]) ** 2
+                  + (flow_fwd[..., 1] + b[..., 1]) ** 2)
+    ok = inb & (err <= max_diff)
+    out = flow_fwd.copy()
+    out[~ok] = INVALID
+    return out
+
+
+def fsgm_flow(img1: np.ndarray, img2: np.ndarray, params: FlowParams,
+              return_intermediates: bool = False):
+    """Full golden fSGM: coarse-to-fine 2D-label SGM (SURVEY.md §3.2)."""
+    pyr1 = build_pyramid(img1, params.levels)
+    pyr2 = build_pyramid(img2, params.levels)
+    flow = np.zeros((*pyr1[-1].shape, 2), dtype=np.float64)
+    per_level = []
+    for lvl in range(params.levels - 1, -1, -1):
+        i1, i2 = pyr1[lvl], pyr2[lvl]
+        if lvl < params.levels - 1:
+            flow = upsample_flow_2x(flow, i1.shape[0], i1.shape[1])
+        flow = _flow_one_level(i1, i2, flow, params)
+        per_level.append(flow)
+    if params.fb_check:
+        # backward flow at full resolution only, zero prior at finest level
+        # of its own pyramid for cost; reuse the same machinery with swapped
+        # images.
+        bwd_params = dataclasses.replace(params, fb_check=False)
+        flow_bwd = fsgm_flow(img2, img1, bwd_params)
+        flow = fb_check(flow, flow_bwd, params.fb_max_diff)
+    if return_intermediates:
+        return flow, dict(per_level=per_level)
+    return flow
