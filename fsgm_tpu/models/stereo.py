@@ -1,0 +1,60 @@
+"""Stereo SGM pipeline (SURVEY.md §3.1 call stack), jit-compiled.
+
+`stereo_sgm(imL, imR, params)` — the L5 API entry.  `params` is static
+(hashable frozen dataclass) so each config compiles once.
+
+Backend selection: 'xla' uses the lax.scan aggregation (always correct,
+any platform); 'pallas' uses the fused speed-of-light kernels from
+ops/pallas/ (TPU).  Both are exact-integer and bit-identical through S.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from fsgm_tpu.params import SGMParams
+from fsgm_tpu.ops.census import census_transform
+from fsgm_tpu.ops.cost import cost_volume_stereo
+from fsgm_tpu.ops import aggregate as agg
+from fsgm_tpu.ops import extract as ext
+
+
+def compute_s_volume(img_l: jnp.ndarray, img_r: jnp.ndarray,
+                     params: SGMParams, backend: str = "xla") -> jnp.ndarray:
+    """census -> cost -> aggregated S volume, int32 (H, W, D)."""
+    cen_l = census_transform(img_l, params.census_window)
+    cen_r = census_transform(img_r, params.census_window)
+    cost = cost_volume_stereo(cen_l, cen_r, params.max_disp,
+                              params.invalid_cost)
+    if backend == "pallas":
+        from fsgm_tpu.ops.pallas import aggregate_pallas
+        return aggregate_pallas.aggregate_paths(
+            cost, img_l, params.dirs, params.p1, params.p2,
+            params.adaptive_p2)
+    return agg.aggregate_paths(cost, img_l, params.dirs, params.p1,
+                               params.p2, params.adaptive_p2)
+
+
+def extract_disparity(s: jnp.ndarray, params: SGMParams) -> jnp.ndarray:
+    """S volume -> final disparity field (float32, INVALID=-1)."""
+    d_int = ext.wta(s)
+    disp = d_int.astype(jnp.float32)
+    if params.subpixel:
+        disp = ext.subpixel_refine(s, d_int)
+    if params.lr_check:
+        d_right = ext.wta_right_from_s(s, params.s_invalid)
+        disp = ext.lr_check(disp, d_right, params.lr_max_diff)
+    if params.median_filter:
+        disp = ext.median_filter_3x3(disp)
+    return disp
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def stereo_sgm(img_l: jnp.ndarray, img_r: jnp.ndarray, params: SGMParams,
+               backend: str = "xla") -> jnp.ndarray:
+    """Full stereo pipeline: (H, W) uint8 pair -> (H, W) float32 disparity."""
+    s = compute_s_volume(img_l, img_r, params, backend)
+    return extract_disparity(s, params)

@@ -1,0 +1,24 @@
+"""Test config: run everything on CPU with 8 virtual devices.
+
+Per SURVEY.md §4 "Distributed" tier: tiling/halo correctness is exactly
+testable on a simulated multi-device CPU mesh
+(--xla_force_host_platform_device_count), no TPU or cluster required.
+Pallas kernels run under interpret=True on CPU.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("FSGM_PALLAS_INTERPRET", "1")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
