@@ -130,7 +130,8 @@ def aggregate_one_path(cost: jnp.ndarray, img: jnp.ndarray,
         return out[::-1]
 
     h, w, nd = cost.shape
-    cost = cost.astype(jnp.int32)
+    # keep the big volume in its compact dtype (u8) in HBM; cast per-row
+    # inside the scan step
     valid = _valid_mask(h, w, dy, dx)
     p2e = _p2_effective(img, dy, dx, valid, p1, p2, adaptive_p2)
     p1_32 = jnp.int32(p1)
@@ -142,13 +143,15 @@ def aggregate_one_path(cost: jnp.ndarray, img: jnp.ndarray,
 
     def step(carry, xs):
         cost_row, p2e_row, valid_row = xs
+        cost_row = cost_row.astype(jnp.int32)
         prev = _shift_x(carry[dy - 1], dx, INF32)          # (W, D)
         m = jnp.min(prev, axis=-1, keepdims=True)          # (W, 1)
         best = jnp.minimum(jnp.minimum(prev, neighbor_min(prev, p1_32)),
                            m + p2e_row[:, None])
         l_row = jnp.where(valid_row[:, None], cost_row + best - m, cost_row)
         new_carry = jnp.stack([l_row, carry[0]], axis=0)
-        return new_carry, l_row
+        # L <= Cmax + P2 < 2^15 by SGMParams validation: emit compact i16
+        return new_carry, l_row.astype(jnp.int16)
 
     carry_out, l_all = jax.lax.scan(
         step, carry0, (cost, p2e, valid))

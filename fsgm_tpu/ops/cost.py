@@ -20,19 +20,22 @@ from fsgm_tpu.ops.census import hamming
 def cost_volume_stereo(cen_l: jnp.ndarray, cen_r: jnp.ndarray,
                        max_disp: int, invalid_cost: int = 255
                        ) -> jnp.ndarray:
-    """Returns (H, W, D) uint8 cost volume."""
+    """Returns (H, W, D) uint8 cost volume.
+
+    Built as ONE gather of the right descriptors at x-d plus a broadcast
+    XOR/popcount — per-disparity Python loops would emit D separate
+    (H, W, 1) temporaries that TPU tiling pads 128x (OOM at KITTI size).
+    """
     h, w, n_words = cen_l.shape
-    planes = []
-    inval = jnp.full((h, w), invalid_cost, dtype=jnp.int32)
-    for d in range(max_disp):
-        if d >= w:
-            planes.append(inval)
-            continue
-        ham = hamming(cen_l[:, d:], cen_r[:, : w - d])
-        if d > 0:
-            ham = jnp.concatenate([inval[:, :d], ham], axis=1)
-        planes.append(ham)
-    c = jnp.stack(planes, axis=-1)
+    xs = jnp.arange(w, dtype=jnp.int32)[:, None]           # (W, 1)
+    ds = jnp.arange(max_disp, dtype=jnp.int32)[None, :]    # (1, D)
+    src = xs - ds                                          # (W, D)
+    valid = src >= 0
+    src_c = jnp.clip(src, 0, w - 1)
+    # gather: (H, W, D, n_words)
+    cen_r_g = cen_r[:, src_c, :]
+    ham = hamming(cen_l[:, :, None, :], cen_r_g)           # (H, W, D) int32
+    c = jnp.where(valid[None, :, :], ham, invalid_cost)
     return c.astype(jnp.uint8)
 
 
@@ -46,18 +49,17 @@ def cost_volume_flow(cen1: jnp.ndarray, cen2: jnp.ndarray,
     """
     h, w = cen1.shape[:2]
     ext = 2 * radius + 1
-    yy = jnp.arange(h, dtype=jnp.int32)[:, None]
-    xx = jnp.arange(w, dtype=jnp.int32)[None, :]
-    planes = []
-    for dv in range(-radius, radius + 1):
-        for du in range(-radius, radius + 1):
-            ty = yy + base_v + dv
-            tx = xx + base_u + du
-            ok = (ty >= 0) & (ty < h) & (tx >= 0) & (tx < w)
-            tyc = jnp.clip(ty, 0, h - 1)
-            txc = jnp.clip(tx, 0, w - 1)
-            ham = hamming(cen1, cen2[tyc, txc])
-            planes.append(jnp.where(ok, ham, invalid_cost))
-    c = jnp.stack(planes, axis=-1)
-    del ext
+    yy = jnp.arange(h, dtype=jnp.int32)[:, None, None]
+    xx = jnp.arange(w, dtype=jnp.int32)[None, :, None]
+    offs = jnp.arange(ext * ext, dtype=jnp.int32)[None, None, :]
+    dv = offs // ext - radius
+    du = offs % ext - radius
+    ty = yy + base_v[:, :, None] + dv                      # (H, W, L)
+    tx = xx + base_u[:, :, None] + du
+    ok = (ty >= 0) & (ty < h) & (tx >= 0) & (tx < w)
+    tyc = jnp.clip(ty, 0, h - 1)
+    txc = jnp.clip(tx, 0, w - 1)
+    cen2_g = cen2[tyc, txc]                                # (H, W, L, words)
+    ham = hamming(cen1[:, :, None, :], cen2_g)
+    c = jnp.where(ok, ham, invalid_cost)
     return c.astype(jnp.uint8)

@@ -22,19 +22,18 @@ def wta(s: jnp.ndarray) -> jnp.ndarray:
 
 def wta_right_from_s(s: jnp.ndarray, s_invalid: int) -> jnp.ndarray:
     """Right-view disparity via the S-volume trick (SURVEY.md §2.1):
-    d_R(y,x) = argmin_d S(y, x+d, d);  x+d >= W -> s_invalid."""
+    d_R(y,x) = argmin_d S(y, x+d, d);  x+d >= W -> s_invalid.
+
+    One gather along x (per-plane Python loops would emit D padded
+    (H, W, 1) temporaries — 128x padding blowup on TPU)."""
     h, w, nd = s.shape
-    planes = []
-    inval = jnp.full((h, w), s_invalid, dtype=s.dtype)
-    for d in range(nd):
-        if d >= w:
-            planes.append(inval)
-            continue
-        plane = s[:, d:, d]
-        if d > 0:
-            plane = jnp.concatenate([plane, inval[:, :d]], axis=1)
-        planes.append(plane)
-    diag = jnp.stack(planes, axis=-1)
+    xs = jnp.arange(w, dtype=jnp.int32)[:, None]           # (W, 1)
+    ds = jnp.arange(nd, dtype=jnp.int32)[None, :]          # (1, D)
+    src = xs + ds                                          # (W, D)
+    valid = src < w
+    src_c = jnp.clip(src, 0, w - 1)
+    diag = jnp.take_along_axis(s, src_c[None, :, :], axis=1)  # S[y, x+d, d]
+    diag = jnp.where(valid[None, :, :], diag, s_invalid)
     return jnp.argmin(diag, axis=-1).astype(jnp.int32)
 
 
