@@ -33,7 +33,7 @@ def compute_s_volume(img_l: jnp.ndarray, img_r: jnp.ndarray,
         from fsgm_tpu.ops.pallas import aggregate_pallas
         return aggregate_pallas.aggregate_paths(
             cost, img_l, params.dirs, params.p1, params.p2,
-            params.adaptive_p2)
+            params.adaptive_p2, s_max=params.s_invalid)
     return agg.aggregate_paths(cost, img_l, params.dirs, params.p1,
                                params.p2, params.adaptive_p2)
 

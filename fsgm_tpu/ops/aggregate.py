@@ -70,28 +70,42 @@ def _shift_x(row: jnp.ndarray, dx: int, fill) -> jnp.ndarray:
     return jnp.concatenate([row[-dx:], pad], axis=0)
 
 
-def _p2_effective(img: jnp.ndarray, dy: int, dx: int, valid: jnp.ndarray,
+def _p2_effective(img: jnp.ndarray, img_prev2: jnp.ndarray | None,
+                  dy: int, dx: int, valid: jnp.ndarray,
                   p1: int, p2: int, adaptive: bool) -> jnp.ndarray:
     """(H, W) int32 effective P2 per pixel for direction (dy, dx), dy>0.
 
     Matches golden/sgm.py::_p2_effective: max(P1+1, P2 // max(1,|dI|)),
-    P2 where the predecessor is invalid.
+    P2 where the predecessor is invalid.  `img_prev2` optionally provides the
+    two image rows ABOVE the tile (canonical scan order: [y=-2, y=-1]) so
+    that tiled continuation sees the true cross-tile gradient; without it the
+    first dy rows use a placeholder (harmless: a zero init carry makes the
+    recurrence degenerate to L=C there regardless of P2).
     """
     if not adaptive:
         return jnp.full(img.shape, p2, dtype=jnp.int32)
     img = img.astype(jnp.int32)
     h, w = img.shape
-    shifted = jnp.roll(jnp.roll(img, dy, axis=0), dx, axis=1)
-    diff = jnp.maximum(jnp.abs(img - shifted), 1)
+    if img_prev2 is None:
+        img_prev2 = jnp.zeros((2, w), dtype=jnp.int32)
+    ext = jnp.concatenate([img_prev2.astype(jnp.int32), img], axis=0)
+    pred = jax.lax.dynamic_slice_in_dim(ext, 2 - dy, h, axis=0)
+    pred = jnp.roll(pred, dx, axis=1)
+    diff = jnp.maximum(jnp.abs(img - pred), 1)
     out = jnp.maximum(jnp.int32(p1 + 1), jnp.int32(p2) // diff)
     return jnp.where(valid, out, jnp.int32(p2))
 
 
-def _valid_mask(h: int, w: int, dy: int, dx: int) -> jnp.ndarray:
-    """(H, W) bool: predecessor p-(dy,dx) inside the image (dy>0)."""
-    yy = jnp.arange(h, dtype=jnp.int32)[:, None]
+def _valid_mask(h: int, w: int, dx: int) -> jnp.ndarray:
+    """(H, W) bool: predecessor x - dx inside the image.
+
+    Row validity (y >= dy) is NOT encoded here: the zero init carry makes
+    the recurrence yield L=C on rows with no predecessor (min over an
+    all-zero prev row is 0, so C + 0 - 0), exactly the golden first-row
+    semantics — and a real carry from an upstream tile makes those same rows
+    continue the scan seamlessly."""
     xx = jnp.arange(w, dtype=jnp.int32)[None, :]
-    return (yy >= dy) & (xx - dx >= 0) & (xx - dx < w)
+    return jnp.broadcast_to((xx - dx >= 0) & (xx - dx < w), (h, w))
 
 
 def aggregate_one_path(cost: jnp.ndarray, img: jnp.ndarray,
@@ -99,22 +113,25 @@ def aggregate_one_path(cost: jnp.ndarray, img: jnp.ndarray,
                        adaptive_p2: bool = False,
                        neighbor_min: Callable = neighbor_min_1d,
                        init_carry: jnp.ndarray | None = None,
+                       img_prev2: jnp.ndarray | None = None,
                        return_carry: bool = False):
     """L_r for one path direction; exact match to golden aggregate_one_path.
 
     cost: (H, W, D) integer; img: (H, W).  Returns (H, W, D) int32.
 
-    init_carry / return_carry expose the scan boundary state for tiled
-    (halo-wavefront) execution: the carry is the last two L rows in the
-    CANONICALIZED frame (dy>0 row scan), shape (2, W, D) int32, INF32 where
-    no predecessor exists.
+    init_carry / img_prev2 / return_carry expose the scan boundary state for
+    tiled (halo-wavefront) execution: the carry is the last two L rows in the
+    CANONICALIZED frame (dy>0 row scan), shape (2, W, D) int32, row 0 = most
+    recent.  A zero carry is the neutral element (start-of-image semantics);
+    a real carry continues the scan across a tile boundary.  img_prev2 is
+    the matching (2, W) image halo [y=-2, y=-1] for adaptive P2.
     """
     dy, dx = direction
     if dy == 0:
         # horizontal: transpose to a row scan
         out = aggregate_one_path(
             jnp.swapaxes(cost, 0, 1), img.T, (dx, 0), p1, p2, adaptive_p2,
-            neighbor_min, init_carry, return_carry)
+            neighbor_min, init_carry, img_prev2, return_carry)
         if return_carry:
             out, carry = out
             return jnp.swapaxes(out, 0, 1), carry
@@ -123,7 +140,7 @@ def aggregate_one_path(cost: jnp.ndarray, img: jnp.ndarray,
         # flip y so the scan runs top->bottom
         out = aggregate_one_path(
             cost[::-1], img[::-1], (-dy, dx), p1, p2, adaptive_p2,
-            neighbor_min, init_carry, return_carry)
+            neighbor_min, init_carry, img_prev2, return_carry)
         if return_carry:
             out, carry = out
             return out[::-1], carry
@@ -132,12 +149,12 @@ def aggregate_one_path(cost: jnp.ndarray, img: jnp.ndarray,
     h, w, nd = cost.shape
     # keep the big volume in its compact dtype (u8) in HBM; cast per-row
     # inside the scan step
-    valid = _valid_mask(h, w, dy, dx)
-    p2e = _p2_effective(img, dy, dx, valid, p1, p2, adaptive_p2)
+    valid = _valid_mask(h, w, dx)
+    p2e = _p2_effective(img, img_prev2, dy, dx, valid, p1, p2, adaptive_p2)
     p1_32 = jnp.int32(p1)
 
     if init_carry is None:
-        carry0 = jnp.full((2, w, nd), INF32, dtype=jnp.int32)
+        carry0 = jnp.zeros((2, w, nd), dtype=jnp.int32)
     else:
         carry0 = init_carry
 

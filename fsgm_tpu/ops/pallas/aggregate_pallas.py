@@ -1,0 +1,286 @@
+"""Pallas TPU kernels: fused multi-direction SGM path aggregation.
+
+This is the speed-of-light replacement for the reference's native C++/MEX
+hot loop (SURVEY.md §2.1 "SGM path aggregation"; §3.3 kernel structure).
+TPU-first design, NOT a translation:
+
+  * ONE row-sweep kernel aggregates ALL directions of a vertical family
+    (e.g. the 3 downward paths (1,-1),(1,0),(1,1) — 7 with knight moves)
+    in a single pass over rows: the cost row is read from HBM once and the
+    family's contributions are summed into S in-place (input/output
+    aliasing), so HBM traffic per family is read-C + RMW-S instead of the
+    per-direction re-read/spill a naive port would do (SURVEY.md §7.4).
+  * The sequential DP axis is the Pallas grid (TPU grid steps execute in
+    order on the core); per-direction path state (the last two L rows) lives
+    in VMEM scratch and persists across grid steps.  Disparity is the lane
+    axis (D=128 = native lane width), image width the sublane axis —
+    ~W*D int32 lanes of VPU work per step, no MXU needed (SGM is min-plus,
+    not matmul).
+  * Upward/right-to-left families reuse the same kernel with a reversed
+    grid index map — no data flipping, no extra copies.
+  * Horizontal paths use a column-sweep variant (grid over x, (H, D)
+    blocks); knight-move paths (|dy|=2 or |dx|=2) fall out of the row sweep
+    via carry depth 2 and sublane shift 2, so 16-path costs the same number
+    of HBM passes as 8-path.
+  * Integer discipline (SURVEY.md §7.3 item 5): u8 cost in, int32 compute,
+    int16 S accumulator when the parameter preset guarantees it fits
+    (max S = num_paths * (invalid_cost + P2) checked by the caller).
+
+Exactness contract: bit-identical to golden/sgm.py::aggregate_paths and
+ops/aggregate.py (the XLA lax.scan fallback) — enforced by
+tests/unit/test_pallas_parity.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INF32 = 1 << 24  # python int: safe headroom, and capturable by kernels
+                 # (a jnp scalar here would be a closed-over constant,
+                 # which pallas_call rejects)
+
+
+def _interpret() -> bool:
+    return os.environ.get("FSGM_PALLAS_INTERPRET", "0") == "1"
+
+
+# --------------------------------------------------------------------------
+# Label-space neighbor minima (operate on (N, L) int32 inside the kernel)
+# --------------------------------------------------------------------------
+
+def make_nmin_1d(p1: int) -> Callable:
+    """min(L[d-1], L[d+1]) + P1 over the 1D disparity axis (lanes)."""
+    def nmin(prev: jnp.ndarray) -> jnp.ndarray:
+        f = jnp.full(prev.shape[:-1] + (1,), INF32, prev.dtype)
+        lo = jnp.concatenate([f, prev[..., :-1]], axis=-1)
+        hi = jnp.concatenate([prev[..., 1:], f], axis=-1)
+        return jnp.minimum(lo, hi) + jnp.int32(p1)
+    return nmin
+
+
+def make_nmin_2d(p1: int, ext: int) -> Callable:
+    """4-neighbor min over the flattened (ext x ext) flow-label grid + P1.
+
+    Labels l = (dv+w)*ext + (du+w) live on the lane axis; u-neighbors are
+    lane shifts by 1 masked at the u-row wrap, v-neighbors lane shifts by
+    ext (always valid within bounds).
+    """
+    def nmin(prev: jnp.ndarray) -> jnp.ndarray:
+        nl = prev.shape[-1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, prev.shape,
+                                        prev.ndim - 1)
+        f1 = jnp.full(prev.shape[:-1] + (1,), INF32, prev.dtype)
+        fe = jnp.full(prev.shape[:-1] + (ext,), INF32, prev.dtype)
+        left = jnp.concatenate([f1, prev[..., :-1]], axis=-1)
+        right = jnp.concatenate([prev[..., 1:], f1], axis=-1)
+        left = jnp.where(lane % ext == 0, INF32, left)
+        right = jnp.where(lane % ext == ext - 1, INF32, right)
+        up = jnp.concatenate([fe, prev[..., :-ext]], axis=-1)
+        down = jnp.concatenate([prev[..., ext:], fe], axis=-1)
+        m = jnp.minimum(jnp.minimum(left, right), jnp.minimum(up, down))
+        del nl
+        return m + jnp.int32(p1)
+    return nmin
+
+
+# --------------------------------------------------------------------------
+# Row sweep: one vertical direction family in one pass over rows
+# --------------------------------------------------------------------------
+
+def _shift_sublanes(a: jnp.ndarray, dx: int, fill) -> jnp.ndarray:
+    """shifted[x] = a[x - dx] along the leading (sublane) axis, `fill` where
+    x - dx is out of range."""
+    if dx == 0:
+        return a
+    f = jnp.full((abs(dx),) + a.shape[1:], fill, a.dtype)
+    if dx > 0:
+        return jnp.concatenate([f, a[:-dx]], axis=0)
+    return jnp.concatenate([a[-dx:], f], axis=0)
+
+
+def _make_row_sweep_kernel(dirs: Sequence[Tuple[int, int]], w: int, nd: int,
+                           nmin: Callable, s_dtype):
+    """dirs: canonical (ady, dx) with ady in {1, 2} (reversal is in the
+    index maps, not here)."""
+    n_dirs = len(dirs)
+
+    def kernel(c_ref, p2e_ref, s_ref, s_out_ref, carry_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            carry_ref[...] = jnp.zeros(carry_ref.shape, carry_ref.dtype)
+
+        cost = c_ref[0].astype(jnp.int32)                   # (W, D)
+        acc = s_ref[0].astype(jnp.int32)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+        for k, (ady, dx) in enumerate(dirs):
+            prev = _shift_sublanes(carry_ref[k, ady - 1], dx, INF32)
+            m = jnp.min(prev, axis=-1, keepdims=True)       # (W, 1)
+            p2e = p2e_ref[0, k][:, None]                    # (W, 1)
+            best = jnp.minimum(jnp.minimum(prev, nmin(prev)), m + p2e)
+            l = cost + best - m
+            if dx != 0:
+                valid = (xx - dx >= 0) & (xx - dx < w)
+                l = jnp.where(valid, l, cost)
+            top = carry_ref[k, 0]
+            carry_ref[k, 1] = top
+            carry_ref[k, 0] = l
+            acc = acc + l
+        s_out_ref[0] = acc.astype(s_dtype)
+
+    return kernel, n_dirs
+
+
+def _row_sweep(cost_u8, p2e, s, dirs, reverse: bool, nmin: Callable):
+    """One vertical family pass.  cost_u8 (H,W,D) u8, p2e (H,n_dirs,W) i32
+    (row-leading so the per-row block (1,n_dirs,W) satisfies Mosaic's
+    last-two-dims-match-array rule), s (H,W,D) accumulator (aliased)."""
+    h, w, nd = cost_u8.shape
+    n_dirs = len(dirs)
+    row = (lambda i: h - 1 - i) if reverse else (lambda i: i)
+    kernel, _ = _make_row_sweep_kernel(dirs, w, nd, nmin, s.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(h,),
+        in_specs=[
+            pl.BlockSpec((1, w, nd), lambda i: (row(i), 0, 0)),
+            pl.BlockSpec((1, n_dirs, w), lambda i: (row(i), 0, 0)),
+            pl.BlockSpec((1, w, nd), lambda i: (row(i), 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, w, nd), lambda i: (row(i), 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((h, w, nd), s.dtype),
+        scratch_shapes=[pltpu.VMEM((n_dirs, 2, w, nd), jnp.int32)],
+        input_output_aliases={2: 0},
+        interpret=_interpret(),
+    )(cost_u8, p2e, s)
+
+
+# --------------------------------------------------------------------------
+# Column sweep: one horizontal direction per pass over columns
+# --------------------------------------------------------------------------
+
+COL_BLOCK = 8  # columns per column-sweep grid step (sublane-aligned DMA)
+
+
+def _make_col_sweep_kernel(reverse: bool, nmin: Callable, s_dtype):
+    def kernel(c_ref, p2e_ref, s_ref, s_out_ref, carry_ref):
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _():
+            carry_ref[...] = jnp.zeros(carry_ref.shape, carry_ref.dtype)
+
+        cols = range(COL_BLOCK - 1, -1, -1) if reverse else range(COL_BLOCK)
+        for c in cols:
+            cost = c_ref[:, c, :].astype(jnp.int32)          # (H, D)
+            prev = carry_ref[0]
+            m = jnp.min(prev, axis=-1, keepdims=True)
+            p2e = p2e_ref[c][:, None]                        # (H, 1)
+            best = jnp.minimum(jnp.minimum(prev, nmin(prev)), m + p2e)
+            l = cost + best - m
+            carry_ref[0] = l
+            s_out_ref[:, c, :] = (s_ref[:, c, :].astype(jnp.int32)
+                                  + l).astype(s_dtype)
+
+    return kernel
+
+
+def _col_sweep(cost_u8, p2e, s, reverse: bool, nmin: Callable):
+    """One horizontal pass ((0,1) forward / (0,-1) reverse) over COL_BLOCK-
+    column blocks.  The predecessor is in the same row, so no sublane
+    shift/mask is needed; the zero init carry gives L=C on the first column
+    (golden first-pixel semantics).  Requires W % COL_BLOCK == 0 — the
+    caller zero-pads (zero cost columns are neutral: they propagate a zero
+    carry, reproducing golden edge behavior at the real/pad boundary)."""
+    h, w, nd = cost_u8.shape
+    assert w % COL_BLOCK == 0, "caller must pad W"
+    nb = w // COL_BLOCK
+    blk = (lambda j: nb - 1 - j) if reverse else (lambda j: j)
+    kernel = _make_col_sweep_kernel(reverse, nmin, s.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((h, COL_BLOCK, nd), lambda j: (0, blk(j), 0)),
+            # p2e comes in TRANSPOSED, (W, H): the (CB, H) block satisfies
+            # Mosaic's sublane/lane rules ((H, CB) would not)
+            pl.BlockSpec((COL_BLOCK, h), lambda j: (blk(j), 0)),
+            pl.BlockSpec((h, COL_BLOCK, nd), lambda j: (0, blk(j), 0)),
+        ],
+        out_specs=pl.BlockSpec((h, COL_BLOCK, nd), lambda j: (0, blk(j), 0)),
+        out_shape=jax.ShapeDtypeStruct((h, w, nd), s.dtype),
+        scratch_shapes=[pltpu.VMEM((1, h, nd), jnp.int32)],
+        input_output_aliases={2: 0},
+        interpret=_interpret(),
+    )(cost_u8, p2e, s)
+
+
+# --------------------------------------------------------------------------
+# P2' precompute (XLA; tiny vs the volume traffic) and the public entry
+# --------------------------------------------------------------------------
+
+def _p2_effective(img: jnp.ndarray, dy: int, dx: int, p1: int, p2: int,
+                  adaptive: bool) -> jnp.ndarray:
+    """(H, W) int32 P2' for direction (dy, dx): max(P1+1, P2 // max(1,
+    |I(p) - I(p - r)|)); value where the predecessor is outside the image is
+    irrelevant (the kernel's zero carry / x-mask bypasses it)."""
+    if not adaptive:
+        return jnp.full(img.shape, p2, dtype=jnp.int32)
+    img = img.astype(jnp.int32)
+    pred = jnp.roll(jnp.roll(img, dy, axis=0), dx, axis=1)
+    diff = jnp.maximum(jnp.abs(img - pred), 1)
+    return jnp.maximum(jnp.int32(p1 + 1), jnp.int32(p2) // diff)
+
+
+def aggregate_paths(cost: jnp.ndarray, img: jnp.ndarray,
+                    dirs: Sequence[Tuple[int, int]], p1: int, p2: int,
+                    adaptive_p2: bool = False,
+                    nmin: Callable | None = None,
+                    s_max: int | None = None) -> jnp.ndarray:
+    """S = sum_r L_r via fused family sweeps.  Returns (H, W, D) int16 when
+    the guaranteed max S fits (pass s_max = num_paths*(invalid_cost+P2)),
+    else int32.  Exact-integer match to the golden model.
+
+    The width is zero-padded to a COL_BLOCK multiple: zero-cost columns are
+    a NEUTRAL region for the recurrence (all-zero prev row -> best=0, m=0,
+    L=C=0), so carries crossing the pad/real boundary reproduce the golden
+    image-edge semantics exactly, and the pad slice of S is discarded."""
+    h, w, nd = cost.shape
+    cost = cost.astype(jnp.uint8)
+    if nmin is None:
+        nmin = make_nmin_1d(p1)
+    s_dtype = jnp.int16 if (s_max is not None and s_max < (1 << 15)) \
+        else jnp.int32
+
+    wp = -(-w // COL_BLOCK) * COL_BLOCK
+    if wp != w:
+        cost = jnp.pad(cost, ((0, 0), (0, wp - w), (0, 0)))
+        img = jnp.pad(img, ((0, 0), (0, wp - w)), mode="edge")
+    s = jnp.zeros((h, wp, nd), dtype=s_dtype)
+
+    down = [r for r in dirs if r[0] > 0]
+    up = [r for r in dirs if r[0] < 0]
+    horiz = [r for r in dirs if r[0] == 0]
+
+    if down:
+        canon = [(dy, dx) for dy, dx in down]
+        p2e = jnp.stack([_p2_effective(img, dy, dx, p1, p2, adaptive_p2)
+                         for dy, dx in down], axis=1)       # (H, n, Wp)
+        s = _row_sweep(cost, p2e, s, canon, False, nmin)
+    if up:
+        canon = [(-dy, dx) for dy, dx in up]
+        p2e = jnp.stack([_p2_effective(img, dy, dx, p1, p2, adaptive_p2)
+                         for dy, dx in up], axis=1)
+        s = _row_sweep(cost, p2e, s, canon, True, nmin)
+    for dy, dx in horiz:
+        p2e_t = _p2_effective(img, dy, dx, p1, p2, adaptive_p2).T  # (Wp, H)
+        s = _col_sweep(cost, p2e_t, s, reverse=(dx < 0), nmin=nmin)
+    return s[:, :w] if wp != w else s

@@ -15,6 +15,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("FSGM_PALLAS_INTERPRET", "1")
 
+import jax  # noqa: E402
+
+# The environment pins JAX_PLATFORMS=axon (the TPU relay); the env var set
+# above is not enough to override it, the config flag is.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

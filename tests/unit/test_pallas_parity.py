@@ -1,0 +1,93 @@
+"""Pallas kernel parity vs the golden oracle (interpret mode on CPU).
+
+SURVEY.md §4 unit tier: the fused family-sweep kernels must be bit-identical
+to golden aggregation — integer math makes any indexing/carry bug a hard
+mismatch.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fsgm_tpu.params import SGMParams, DIRS_8, DIRS_16
+from fsgm_tpu.io.synthetic import random_dot_stereo
+from fsgm_tpu.ops.pallas import aggregate_pallas as pagg
+
+import golden.sgm as g
+
+
+@pytest.fixture(scope="module")
+def volume():
+    img_l, img_r, _ = random_dot_stereo(40, 56, 16, seed=7)
+    p = SGMParams(max_disp=16, p1=7, p2=60)
+    cen_l = g.census_transform(img_l, p.census_window)
+    cen_r = g.census_transform(img_r, p.census_window)
+    cost = g.cost_volume_stereo(cen_l, cen_r, p.max_disp, p.invalid_cost)
+    return img_l, cost
+
+
+@pytest.mark.parametrize("dirs", [
+    [(1, 0)], [(1, 1)], [(1, -1)], [(-1, 0)], [(-1, 1)], [(-1, -1)],
+    [(0, 1)], [(0, -1)],
+    [(1, 2)], [(1, -2)], [(2, 1)], [(2, -1)],
+    [(-1, 2)], [(-2, -1)],
+])
+@pytest.mark.parametrize("adaptive", [False, True])
+def test_single_direction_exact(volume, dirs, adaptive):
+    img, cost = volume
+    p1, p2 = 7, 60
+    gold = np.zeros_like(cost)
+    for r in dirs:
+        gold += g.aggregate_one_path(cost, img, r, p1, p2, adaptive)
+    ours = pagg.aggregate_paths(
+        jnp.asarray(cost, dtype=jnp.uint8), jnp.asarray(img), dirs,
+        p1, p2, adaptive)
+    np.testing.assert_array_equal(np.asarray(ours).astype(np.int64), gold,
+                                  err_msg=f"dirs={dirs}")
+
+
+@pytest.mark.parametrize("dirset", [DIRS_8, DIRS_16])
+@pytest.mark.parametrize("adaptive", [False, True])
+def test_full_pathset_exact(volume, dirset, adaptive):
+    img, cost = volume
+    p1, p2 = 7, 60
+    gold = np.zeros_like(cost)
+    for r in dirset:
+        gold += g.aggregate_one_path(cost, img, r, p1, p2, adaptive)
+    s_max = len(dirset) * (255 + p2)
+    ours = pagg.aggregate_paths(
+        jnp.asarray(cost, dtype=jnp.uint8), jnp.asarray(img), dirset,
+        p1, p2, adaptive, s_max=s_max)
+    if len(dirset) == 8:
+        assert ours.dtype == jnp.int16
+    np.testing.assert_array_equal(np.asarray(ours).astype(np.int64), gold)
+
+
+@pytest.mark.parametrize("w", [57, 61])
+def test_odd_width_padding_exact(w):
+    """W not a multiple of COL_BLOCK exercises the neutral zero-pad path."""
+    img_l, img_r, _ = random_dot_stereo(24, w, 12, seed=5)
+    p1, p2 = 7, 60
+    cen_l = g.census_transform(img_l, (5, 5))
+    cen_r = g.census_transform(img_r, (5, 5))
+    cost = g.cost_volume_stereo(cen_l, cen_r, 12)
+    gold = np.zeros_like(cost)
+    for r in DIRS_16:
+        gold += g.aggregate_one_path(cost, img_l, r, p1, p2, True)
+    ours = pagg.aggregate_paths(
+        jnp.asarray(cost, dtype=jnp.uint8), jnp.asarray(img_l), DIRS_16,
+        p1, p2, True)
+    np.testing.assert_array_equal(np.asarray(ours).astype(np.int64), gold)
+
+
+def test_full_pipeline_pallas_backend(volume):
+    from fsgm_tpu.models.stereo import stereo_sgm
+    img_l, img_r, _ = random_dot_stereo(40, 56, 16, seed=7)
+    p = SGMParams(max_disp=16, p1=7, p2=60)
+    gold = g.sgm_stereo(img_l, img_r, p)
+    ours = np.asarray(stereo_sgm(jnp.asarray(img_l), jnp.asarray(img_r), p,
+                                 "pallas"))
+    np.testing.assert_array_equal(ours < 0, gold < 0)
+    both = ours >= 0
+    np.testing.assert_allclose(ours[both], gold[both], atol=1e-3)
