@@ -28,7 +28,7 @@ BASELINE_MPDS = 1650.0     # embedded-GPU SGM anchor (best prior art per chip)
 SOL_MPDS = 16000.0         # derived HBM speed-of-light, SURVEY.md §7.4
 
 H, W, D = 375, 1242, 128
-BATCH = 4      # frames per dispatch: amortizes the ~20 ms axon relay
+BATCH = 8      # frames per dispatch: amortizes the ~25 ms axon relay
                # round-trip so the number reflects device time
 REPEATS = 6
 
@@ -56,20 +56,24 @@ def main() -> None:
     # The salt makes every timed execution distinct (uint8 wrap keeps a
     # valid image), defeating any transport-level result caching, while
     # keeping the per-call payload a single scalar.
+    # Returning a scalar reduction computed INSIDE the jit and fetching it
+    # is the only reliable sync through the axon relay:
+    # block_until_ready() on device arrays returns before execution.
     @jax.jit
     def run(a, b, salt):
-        return jax.vmap(
+        out = jax.vmap(
             lambda x, y: stereo_sgm(x + salt, y + salt, params, backend)
         )(a, b)
+        return jnp.sum(out)
 
     t0 = time.perf_counter()
-    run(il, ir, jnp.uint8(255)).block_until_ready()
+    float(run(il, ir, jnp.uint8(255)))
     compile_s = time.perf_counter() - t0
 
     times = []
     for rep in range(REPEATS):
         t0 = time.perf_counter()
-        run(il, ir, jnp.uint8(rep)).block_until_ready()
+        float(run(il, ir, jnp.uint8(rep)))
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times)) / batch
 

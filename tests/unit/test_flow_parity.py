@@ -1,0 +1,83 @@
+"""fSGM flow parity: JAX pipeline (XLA and Pallas backends) vs golden.
+
+SURVEY.md §4: integer stages exact (cost volume, S, WTA labels); float
+stages (subpixel, median, fb-check) within float32 tolerance; synthetic
+translating pattern recovers known flow (integration tier).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fsgm_tpu.params import FlowParams
+from fsgm_tpu.io.synthetic import constant_flow_pair, blockwise_flow_pair
+from fsgm_tpu.ops import census as jcensus
+from fsgm_tpu.ops import cost as jcost
+from fsgm_tpu.models import flow as jflow
+
+import golden.flow as gf
+import golden.sgm as gs
+
+
+@pytest.fixture(scope="module")
+def pair():
+    img1, img2, flow_gt = constant_flow_pair(48, 64, 2, -1, seed=3)
+    return img1, img2, flow_gt
+
+
+def test_cost_volume_flow_exact(pair):
+    img1, img2, _ = pair
+    r = 3
+    cen1g = gs.census_transform(img1)
+    cen2g = gs.census_transform(img2)
+    rng = np.random.default_rng(0)
+    bu = rng.integers(-2, 3, img1.shape)
+    bv = rng.integers(-2, 3, img1.shape)
+    gold = gf.cost_volume_flow(cen1g, cen2g, bu, bv, r)
+    ours = jcost.cost_volume_flow(
+        jcensus.census_transform(jnp.asarray(img1)),
+        jcensus.census_transform(jnp.asarray(img2)),
+        jnp.asarray(bu, dtype=jnp.int32), jnp.asarray(bv, dtype=jnp.int32),
+        r)
+    np.testing.assert_array_equal(np.asarray(ours).astype(np.int64), gold)
+
+
+def test_pyramid_exact(pair):
+    img1, _, _ = pair
+    gold = gf.build_pyramid(img1, 3)
+    ours = jflow.build_pyramid(jnp.asarray(img1), 3)
+    for g, o in zip(gold, ours):
+        np.testing.assert_array_equal(np.asarray(o), g)
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_flow_full_close_to_golden(pair, backend):
+    img1, img2, _ = pair
+    p = FlowParams(search_radius=3, levels=3, p1=7, p2=60)
+    gold = gf.fsgm_flow(img1, img2, p)
+    ours = np.asarray(jflow.flow_fsgm(jnp.asarray(img1), jnp.asarray(img2),
+                                      p, backend))
+    # invalid masks must agree exactly; valid values within float tolerance
+    np.testing.assert_array_equal(ours[..., 0] < -0.5, gold[..., 0] < -0.5)
+    both = gold[..., 0] >= -0.5
+    np.testing.assert_allclose(ours[both], gold[both], atol=1e-3)
+
+
+def test_flow_recovers_constant_translation():
+    img1, img2, flow_gt = constant_flow_pair(64, 80, 3, -2, seed=9)
+    p = FlowParams(search_radius=4, levels=3, p1=7, p2=60)
+    out = np.asarray(jflow.flow_fsgm(jnp.asarray(img1), jnp.asarray(img2), p))
+    valid = out[..., 0] >= -0.5
+    assert valid.mean() > 0.5
+    err = np.abs(out - flow_gt)[valid]
+    assert np.mean(err <= 1.0) > 0.9, f"flow error too high: {err.mean()}"
+
+
+def test_flow_blockwise_motion():
+    img1, img2, flow_gt, mask = blockwise_flow_pair(64, 80, 3, seed=4)
+    p = FlowParams(search_radius=4, levels=3, p1=7, p2=60)
+    out = np.asarray(jflow.flow_fsgm(jnp.asarray(img1), jnp.asarray(img2), p))
+    valid = (out[..., 0] >= -0.5) & mask
+    epe = np.sqrt(((out - flow_gt) ** 2).sum(-1))[valid]
+    assert np.mean(epe <= 1.0) > 0.8, f"EPE too high: {epe.mean()}"
