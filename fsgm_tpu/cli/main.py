@@ -159,6 +159,53 @@ def cmd_demo(args) -> int:
     return 0
 
 
+def cmd_batch(args) -> int:
+    """Batch stereo over many pairs with resume + fault injection.
+
+    SURVEY.md §5 "Failure detection / elastic recovery": the workload is
+    stateless per frame, so recovery = re-queue; the manifest makes reruns
+    idempotent.  --fault-inject N simulates a worker dying after N frames
+    (tests the recovery path end-to-end).
+    """
+    import os
+    import jax.numpy as jnp
+    from fsgm_tpu.params import SGMParams
+    from fsgm_tpu.models.stereo import stereo_sgm
+    from fsgm_tpu.io.images import load_gray
+    from fsgm_tpu.io import kitti
+    from fsgm_tpu.utils.manifest import RunManifest
+
+    p = _params_from_args(args, SGMParams)
+    pairs = []
+    lines = Path(args.list).read_text().splitlines()
+    for line in lines:
+        if line.strip():
+            left, right, out = line.split()
+            pairs.append((left, right, out))
+    manifest = RunManifest(args.manifest)
+    todo = manifest.pending([out for _, _, out in pairs])
+    be = _backend(args.backend)
+    done_now = 0
+    for left, right, out in pairs:
+        if out not in todo:
+            continue
+        t0 = time.perf_counter()
+        disp = np.asarray(stereo_sgm(jnp.asarray(load_gray(left)),
+                                     jnp.asarray(load_gray(right)), p, be))
+        kitti.write_disparity_png(out, disp)
+        manifest.mark_done(out, out, wall_s=round(time.perf_counter() - t0, 4),
+                           valid_frac=round(float((disp >= 0).mean()), 4))
+        done_now += 1
+        if args.fault_inject and done_now >= args.fault_inject:
+            print(json.dumps({"cmd": "batch", "fault_injected": True,
+                              "done": done_now}), flush=True)
+            os._exit(17)
+    print(json.dumps({"cmd": "batch", "total": len(pairs),
+                      "newly_done": done_now,
+                      "skipped": len(pairs) - len(todo)}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import subprocess
     env = dict(__import__("os").environ)
@@ -202,6 +249,15 @@ def main(argv=None) -> int:
     dp.add_argument("--backend", default="auto",
                     choices=["auto", "xla", "pallas"])
     dp.set_defaults(fn=cmd_demo)
+
+    tp = sub.add_parser("batch",
+                        help="batch stereo with resume manifest")
+    tp.add_argument("list", help="file of lines: left right out.png")
+    tp.add_argument("--manifest", required=True)
+    tp.add_argument("--fault-inject", dest="fault_inject", type=int,
+                    default=0, help="die after N frames (recovery test)")
+    _add_stereo_args(tp)
+    tp.set_defaults(fn=cmd_batch)
 
     bp = sub.add_parser("bench", help="throughput harness")
     bp.add_argument("--backend", default="auto",

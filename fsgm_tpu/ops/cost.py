@@ -41,23 +41,29 @@ def cost_volume_stereo(cen_l: jnp.ndarray, cen_r: jnp.ndarray,
 
 def cost_volume_flow(cen1: jnp.ndarray, cen2: jnp.ndarray,
                      base_u: jnp.ndarray, base_v: jnp.ndarray,
-                     radius: int, invalid_cost: int = 255) -> jnp.ndarray:
+                     radius: int, invalid_cost: int = 255,
+                     y_offset: int | jnp.ndarray = 0) -> jnp.ndarray:
     """(H, W, (2w+1)^2) uint8 flow cost volume.
 
     base_u/base_v: (H, W) int32 rounded prior flow.  Label order matches
     golden/flow.py::cost_volume_flow: l = (dv+w)*(2w+1) + (du+w).
+
+    Tiled mode: cen1 may be a row tile of the first image while cen2 is
+    the FULL second image (flow targets are unbounded vertically, so the
+    gather needs global rows); y_offset is the tile's global starting row.
     """
     h, w = cen1.shape[:2]
     ext = 2 * radius + 1
-    yy = jnp.arange(h, dtype=jnp.int32)[:, None, None]
+    yy = jnp.arange(h, dtype=jnp.int32)[:, None, None] + y_offset
     xx = jnp.arange(w, dtype=jnp.int32)[None, :, None]
     offs = jnp.arange(ext * ext, dtype=jnp.int32)[None, None, :]
     dv = offs // ext - radius
     du = offs % ext - radius
     ty = yy + base_v[:, :, None] + dv                      # (H, W, L)
     tx = xx + base_u[:, :, None] + du
-    ok = (ty >= 0) & (ty < h) & (tx >= 0) & (tx < w)
-    tyc = jnp.clip(ty, 0, h - 1)
+    h2 = cen2.shape[0]  # == h untiled; full image height in tiled mode
+    ok = (ty >= 0) & (ty < h2) & (tx >= 0) & (tx < w)
+    tyc = jnp.clip(ty, 0, h2 - 1)
     txc = jnp.clip(tx, 0, w - 1)
     cen2_g = cen2[tyc, txc]                                # (H, W, L, words)
     ham = hamming(cen1[:, :, None, :], cen2_g)

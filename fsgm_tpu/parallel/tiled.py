@@ -84,7 +84,8 @@ def _split_dirs(dirs: Sequence[Tuple[int, int]]):
 
 
 def _aggregate_tiled_exact(cost_t, img_t, above2, below2, dirs, p1, p2,
-                           adaptive, axis: str, t: int):
+                           adaptive, axis: str, t: int,
+                           neighbor_min=agg.neighbor_min_1d):
     """Bit-true wavefront aggregation of a row tile.  above2/below2 are the
     (2, W) image halos [y=-2, y=-1] and [y=Ht, y=Ht+1]."""
     my = jax.lax.axis_index(axis)
@@ -93,8 +94,8 @@ def _aggregate_tiled_exact(cost_t, img_t, above2, below2, dirs, p1, p2,
 
     s = jnp.zeros(cost_t.shape, dtype=jnp.int32)
     for r in horiz:  # row-local
-        s = s + agg.aggregate_one_path(cost_t, img_t, r, p1, p2,
-                                       adaptive).astype(jnp.int32)
+        s = s + agg.aggregate_one_path(cost_t, img_t, r, p1, p2, adaptive,
+                                       neighbor_min).astype(jnp.int32)
 
     img_prev_up = below2[::-1]  # canonical (flipped) frame halo order
     for rd, ru in zip(down, up):
@@ -102,10 +103,10 @@ def _aggregate_tiled_exact(cost_t, img_t, above2, below2, dirs, p1, p2,
         carry_u = jnp.zeros((2, w, nd), dtype=jnp.int32)
         for k in range(t):
             l_d, cout_d = agg.aggregate_one_path(
-                cost_t, img_t, rd, p1, p2, adaptive,
+                cost_t, img_t, rd, p1, p2, adaptive, neighbor_min,
                 init_carry=carry_d, img_prev2=above2, return_carry=True)
             l_u, cout_u = agg.aggregate_one_path(
-                cost_t, img_t, ru, p1, p2, adaptive,
+                cost_t, img_t, ru, p1, p2, adaptive, neighbor_min,
                 init_carry=carry_u, img_prev2=img_prev_up, return_carry=True)
             s = (s
                  + jnp.where(my == k, l_d.astype(jnp.int32), 0)
@@ -117,7 +118,8 @@ def _aggregate_tiled_exact(cost_t, img_t, above2, below2, dirs, p1, p2,
 
 
 def _aggregate_tiled_fast(cost_t, img_t, above2, below2, dirs, p1, p2,
-                          adaptive, axis: str, t: int, margin: int):
+                          adaptive, axis: str, t: int, margin: int,
+                          neighbor_min=agg.neighbor_min_1d):
     """Two-pass margin re-injection (approximate across tile seams)."""
     my = jax.lax.axis_index(axis)
     horiz, down, up = _split_dirs(dirs)
@@ -127,27 +129,27 @@ def _aggregate_tiled_fast(cost_t, img_t, above2, below2, dirs, p1, p2,
 
     s = jnp.zeros(cost_t.shape, dtype=jnp.int32)
     for r in horiz:
-        s = s + agg.aggregate_one_path(cost_t, img_t, r, p1, p2,
-                                       adaptive).astype(jnp.int32)
+        s = s + agg.aggregate_one_path(cost_t, img_t, r, p1, p2, adaptive,
+                                       neighbor_min).astype(jnp.int32)
 
     for r in down + up:
         is_down = r[0] > 0
         prev2 = above2 if is_down else img_prev_up
         l0, cout = agg.aggregate_one_path(
-            cost_t, img_t, r, p1, p2, adaptive,
+            cost_t, img_t, r, p1, p2, adaptive, neighbor_min,
             img_prev2=prev2, return_carry=True)
         send = _send_down if is_down else _send_up
         carry = send(cout, axis, t)
         if is_down:
             l_fix = agg.aggregate_one_path(
-                cost_t[:m], img_t[:m], r, p1, p2, adaptive,
+                cost_t[:m], img_t[:m], r, p1, p2, adaptive, neighbor_min,
                 init_carry=carry, img_prev2=prev2)
             boundary = my > 0
             fixed = jnp.concatenate([l_fix, l0[m:]], axis=0)
         else:
             l_fix = agg.aggregate_one_path(
                 cost_t[ht - m:], img_t[ht - m:], r, p1, p2, adaptive,
-                init_carry=carry, img_prev2=prev2)
+                neighbor_min, init_carry=carry, img_prev2=prev2)
             boundary = my < t - 1
             fixed = jnp.concatenate([l0[: ht - m], l_fix], axis=0)
         s = s + jnp.where(boundary, fixed, l0).astype(jnp.int32)

@@ -1,0 +1,47 @@
+"""Tiled flow == single-device flow, bit-exact in 'exact' mode.
+
+The pyramid, cost, and aggregation are integer; subpixel/median are the
+same float32 ops on identical integers — so the whole field must match
+exactly, not approximately."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fsgm_tpu.params import FlowParams, DistParams
+from fsgm_tpu.io.synthetic import constant_flow_pair, blockwise_flow_pair
+from fsgm_tpu.models.flow import flow_fsgm
+from fsgm_tpu.parallel.tiled_flow import flow_fsgm_sharded
+
+
+def _mesh(frame, ty):
+    devs = jax.devices()[: frame * ty]
+    return jax.make_mesh((frame, ty), ("frame", "ty"), devices=devs)
+
+
+@pytest.mark.parametrize("frame,ty", [(1, 4), (2, 2)])
+def test_tiled_flow_exact(frame, ty):
+    img1, img2, _, _ = blockwise_flow_pair(48, 64, 3, seed=8)
+    p = FlowParams(search_radius=3, levels=3, p1=7, p2=60)
+    ref = np.asarray(flow_fsgm(jnp.asarray(img1), jnp.asarray(img2), p))
+
+    i1 = jnp.asarray(np.stack([img1] * frame))
+    i2 = jnp.asarray(np.stack([img2] * frame))
+    dist = DistParams(tiles_y=ty, frame_shards=frame, tile_mode="exact")
+    out = np.asarray(flow_fsgm_sharded(i1, i2, p, dist, _mesh(frame, ty)))
+    for f in range(frame):
+        np.testing.assert_array_equal(out[f], ref)
+
+
+def test_tiled_flow_fast_mode_close():
+    img1, img2, fgt = constant_flow_pair(48, 64, 2, -1, seed=2)
+    p = FlowParams(search_radius=3, levels=3, p1=7, p2=60)
+    ref = np.asarray(flow_fsgm(jnp.asarray(img1), jnp.asarray(img2), p))
+    dist = DistParams(tiles_y=4, tile_mode="fast", margin=6)
+    out = np.asarray(flow_fsgm_sharded(
+        img1[None], img2[None], p, dist, _mesh(1, 4)))[0]
+    valid_both = (ref[..., 0] > -0.5) & (out[..., 0] > -0.5)
+    mismatch = np.mean(np.abs(out[valid_both] - ref[valid_both]) > 0.5)
+    assert mismatch < 0.05

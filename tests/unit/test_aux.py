@@ -1,0 +1,135 @@
+"""Aux subsystems (SURVEY.md §5): resume manifest, fault-inject recovery,
+IO codecs, metrics, profiling harness."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from fsgm_tpu.utils.manifest import RunManifest
+from fsgm_tpu.eval.metrics import d1_all, fl_all
+from fsgm_tpu.io import kitti
+from fsgm_tpu.io.images import write_pgm, read_pgm, write_pfm, read_pfm
+
+
+def test_manifest_resume(tmp_path):
+    m = RunManifest(tmp_path / "m.jsonl")
+    assert m.pending(["a", "b"]) == ["a", "b"]
+    out = tmp_path / "a.png"
+    out.write_bytes(b"x")
+    m.mark_done("a", str(out), wall_s=0.1)
+    assert m.is_done("a") and not m.is_done("b")
+    # reload from disk
+    m2 = RunManifest(tmp_path / "m.jsonl")
+    assert m2.pending(["a", "b"]) == ["b"]
+    # missing output file -> not done
+    out.unlink()
+    m3 = RunManifest(tmp_path / "m.jsonl")
+    assert m3.pending(["a"]) == ["a"]
+
+
+def test_manifest_torn_write(tmp_path):
+    path = tmp_path / "m.jsonl"
+    path.write_text('{"frame_id": "a", "status": "done", "output": null}\n'
+                    '{"frame_id": "b", "sta')  # torn crash write
+    m = RunManifest(path)
+    assert m.is_done("a") and not m.is_done("b")
+
+
+@pytest.mark.slow
+def test_batch_fault_inject_and_resume(tmp_path):
+    """End-to-end recovery: worker dies mid-batch, rerun completes rest."""
+    from fsgm_tpu.io.synthetic import random_dot_stereo
+    from fsgm_tpu.io.images import save_gray
+    repo = Path(__file__).resolve().parents[2]
+    lines = []
+    for i in range(3):
+        il, ir, _ = random_dot_stereo(24, 32, 8, seed=i)
+        l, r = tmp_path / f"l{i}.png", tmp_path / f"r{i}.png"
+        save_gray(l, il), save_gray(r, ir)
+        lines.append(f"{l} {r} {tmp_path}/d{i}.png")
+    lst = tmp_path / "list.txt"
+    lst.write_text("\n".join(lines))
+    env = dict(os.environ,
+               PYTHONPATH=str(repo),
+               JAX_PLATFORMS="cpu")
+    cmd = [sys.executable, "-m", "fsgm_tpu.cli", "batch", str(lst),
+           "--manifest", str(tmp_path / "m.jsonl"), "--max-disp", "8",
+           "--backend", "xla"]
+    # conftest-style cpu forcing for subprocess
+    pre = ("import jax; jax.config.update('jax_platforms','cpu');"
+           "from fsgm_tpu.cli.main import main; import sys;"
+           "sys.exit(main(sys.argv[1:]))")
+    cmd = [sys.executable, "-c", pre, "batch", str(lst),
+           "--manifest", str(tmp_path / "m.jsonl"), "--max-disp", "8",
+           "--backend", "xla"]
+    r1 = subprocess.run(cmd + ["--fault-inject", "1"], env=env,
+                        cwd=repo, capture_output=True, text=True)
+    assert r1.returncode == 17, r1.stderr[-2000:]
+    done_after_fault = sum(1 for i in range(3)
+                           if (tmp_path / f"d{i}.png").exists())
+    assert done_after_fault == 1
+    r2 = subprocess.run(cmd, env=env, cwd=repo, capture_output=True,
+                        text=True)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    rec = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert rec["newly_done"] == 2 and rec["skipped"] == 1
+    assert all((tmp_path / f"d{i}.png").exists() for i in range(3))
+
+
+def test_metrics_d1():
+    gt = np.full((10, 10), 20.0)
+    pred = gt.copy()
+    pred[0, :5] = 10.0   # 5 bad pixels
+    pred[1, 0] = -1.0    # invalid
+    m = d1_all(pred, gt, gt > 0)
+    assert abs(m["d1_all"] - 6 / 100) < 1e-9
+    assert m["density"] == 0.99
+
+
+def test_metrics_fl():
+    gt = np.zeros((8, 8, 2))
+    gt[..., 0] = 10.0
+    pred = gt.copy()
+    pred[0, 0] = (20.0, 0.0)   # epe 10 > 3 and > 5%*10
+    m = fl_all(pred, gt)
+    assert abs(m["fl_all"] - 1 / 64) < 1e-9
+
+
+def test_pgm_pfm_roundtrip(tmp_path, rng):
+    img = rng.integers(0, 255, (17, 23)).astype(np.uint8)
+    write_pgm(tmp_path / "x.pgm", img)
+    np.testing.assert_array_equal(read_pgm(tmp_path / "x.pgm"), img)
+    f = rng.normal(size=(9, 11)).astype(np.float32)
+    write_pfm(tmp_path / "x.pfm", f)
+    np.testing.assert_array_equal(read_pfm(tmp_path / "x.pfm"), f)
+
+
+def test_kitti_codecs_roundtrip(tmp_path, rng):
+    d = rng.random((12, 15)) * 100
+    kitti.write_disparity_png(tmp_path / "d.png", d)
+    back = kitti.read_disparity_png(tmp_path / "d.png")
+    np.testing.assert_allclose(back, d, atol=1 / 256 + 1e-6)
+    flow = (rng.random((12, 15, 2)) * 40 - 20).astype(np.float32)
+    valid = rng.random((12, 15)) > 0.3
+    kitti.write_flow_png(tmp_path / "f.png", flow, valid)
+    fb, vb = kitti.read_flow_png(tmp_path / "f.png")
+    np.testing.assert_array_equal(vb, valid)
+    np.testing.assert_allclose(fb[valid], flow[valid], atol=1 / 64 + 1e-6)
+    kitti.write_flo(tmp_path / "f.flo", flow)
+    np.testing.assert_array_equal(kitti.read_flo(tmp_path / "f.flo"), flow)
+
+
+def test_stage_timer():
+    from fsgm_tpu.utils.profiling import StageTimer, sgm_bytes_model
+    t = StageTimer(peak_gbs=100.0)
+    with t.stage("x", bytes_moved=1000):
+        pass
+    rep = t.report()
+    assert rep[0]["stage"] == "x" and rep[0]["bytes"] == 1000
+    model = sgm_bytes_model(375, 1242, 128, 8)
+    assert model["total"] > model["aggregate"] > 0
