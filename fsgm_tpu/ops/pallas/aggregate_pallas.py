@@ -135,11 +135,28 @@ def _lane_min(v: jnp.ndarray, cdt) -> jnp.ndarray:
 
 
 def _make_row_sweep_kernel(dirs: Sequence[Tuple[int, int]], w: int, nd: int,
-                           nmin: Callable, s_dtype, cdt, inf: int):
+                           nmin: Callable, s_dtype, cdt, inf: int,
+                           carry_dt):
     """dirs: canonical (ady, dx) with ady in {1, 2} (reversal is in the
-    index maps, not here).  cdt is the in-kernel compute dtype: int16 when
-    the preset's value bounds allow (half the VPU pressure of int32)."""
-    n_dirs = len(dirs)
+    index maps, not here).  Carry scratch is packed per direction with
+    depth 1, or 2 for knight-move dirs (ady == 2), and stored int16 when
+    the penalty preset bounds L below 2^15 — both matter for staying under
+    the 16 MB VMEM limit at 4K widths."""
+    offs, off = [], 0
+    for ady, _ in dirs:
+        offs.append(off)
+        off += 2 if ady == 2 else 1
+    n_units = off
+
+    # x is chunked so per-chunk temporaries fit the 16 MB VMEM scoped
+    # limit at 4K widths; every op is per-x except the static sublane
+    # shift, which reads the carry at [s-dx, e-dx) — processing chunks
+    # AGAINST the shift direction keeps those reads on not-yet-overwritten
+    # previous-row state.
+    X_CHUNK = 1536
+    n_chunks = -(-w // X_CHUNK)
+    bounds = [(c * X_CHUNK, min((c + 1) * X_CHUNK, w))
+              for c in range(n_chunks)]
 
     def kernel(c_ref, p2e_ref, s_ref, s_out_ref, carry_ref):
         i = pl.program_id(0)
@@ -148,35 +165,71 @@ def _make_row_sweep_kernel(dirs: Sequence[Tuple[int, int]], w: int, nd: int,
         def _():
             carry_ref[...] = jnp.zeros(carry_ref.shape, carry_ref.dtype)
 
-        cost = c_ref[0].astype(cdt)                         # (W, D)
-        acc = s_ref[0].astype(cdt)
+        for (s0, e0) in bounds:  # S accumulator: start from the aliased in
+            s_out_ref[0, s0:e0] = s_ref[0, s0:e0]
         for k, (ady, dx) in enumerate(dirs):
-            prev = _shift_sublanes(carry_ref[k, ady - 1], dx, inf)
-            m = _lane_min(prev, cdt)
-            p2e = p2e_ref[0, k][:, None].astype(cdt)        # (W, 1)
-            best = jnp.minimum(jnp.minimum(prev, nmin(prev)), m + p2e)
-            # No x-edge mask: where the predecessor is outside the image
-            # the whole shifted sublane is INF, so m = best = INF and
-            # l = cost + INF - INF = cost — the golden edge rule, free.
-            l = cost + best - m
-            if ady == 2:  # only knight-move dirs read two rows back
-                carry_ref[k, 1] = carry_ref[k, 0]
-            carry_ref[k, 0] = l
-            acc = acc + l
-        s_out_ref[0] = acc.astype(s_dtype)
+            o = offs[k]
+            order = reversed(bounds) if dx > 0 else bounds
+            for (s0, e0) in order:
+                n_rows = e0 - s0
+                # Mosaic restriction: lane rotates and concats require
+                # operands at register offset 0, so the lane-wise ops
+                # (min tree, neighbor min) run on the ALIGNED carry chunk
+                # and the +-dx sublane shift is applied to their results
+                # (shift commutes with per-x lane ops); the shift itself
+                # uses an aligned 8-row border block + a value slice.
+                chunk = carry_ref[o + ady - 1, s0:e0].astype(cdt)
+                mch = _lane_min(chunk, cdt)
+                nmch = nmin(chunk)
+                if dx == 0:
+                    prev, m, nm = chunk, mch, nmch
+                else:
+                    if dx > 0:
+                        if s0 > 0:
+                            bord = carry_ref[o + ady - 1,
+                                             s0 - 8:s0].astype(cdt)
+                        else:
+                            bord = jnp.full((8, nd), inf, cdt)
+                        def sh(a, b, dx=dx, n=n_rows):
+                            return jnp.concatenate(
+                                [b, a], axis=0)[8 - dx: 8 - dx + n]
+                    else:
+                        if e0 < w:
+                            bord = carry_ref[o + ady - 1,
+                                             e0:e0 + 8].astype(cdt)
+                        else:
+                            bord = jnp.full((8, nd), inf, cdt)
+                        def sh(a, b, dx=dx, n=n_rows):
+                            return jnp.concatenate(
+                                [a, b], axis=0)[-dx: -dx + n]
+                    prev = sh(chunk, bord)
+                    m = sh(mch, _lane_min(bord, cdt))
+                    nm = sh(nmch, nmin(bord))
+                p2e = p2e_ref[0, k, s0:e0][:, None].astype(cdt)
+                best = jnp.minimum(jnp.minimum(prev, nm), m + p2e)
+                # No x-edge mask: where the predecessor is outside the
+                # image the whole shifted sublane is INF, so m = best = INF
+                # and l = cost + INF - INF = cost — golden edge rule, free.
+                l = c_ref[0, s0:e0].astype(cdt) + best - m
+                if ady == 2:  # only knight-move dirs read two rows back
+                    carry_ref[o + 1, s0:e0] = carry_ref[o, s0:e0]
+                carry_ref[o, s0:e0] = l.astype(carry_dt)
+                s_out_ref[0, s0:e0] = (s_out_ref[0, s0:e0].astype(cdt)
+                                       + l).astype(s_dtype)
 
-    return kernel, n_dirs
+    return kernel, n_units
 
 
 def _row_sweep(cost_u8, p2e, s, dirs, reverse: bool, nmin: Callable,
-               cdt=jnp.int32, inf: int = INF32):
+               cdt=jnp.int32, inf: int = INF32, carry_dt=jnp.int32):
     """One vertical family pass.  cost_u8 (H,W,D) u8, p2e (H,n_dirs,W) i32
     (row-leading so the per-row block (1,n_dirs,W) satisfies Mosaic's
     last-two-dims-match-array rule), s (H,W,D) accumulator (aliased)."""
     h, w, nd = cost_u8.shape
     n_dirs = len(dirs)
     row = (lambda i: h - 1 - i) if reverse else (lambda i: i)
-    kernel, _ = _make_row_sweep_kernel(dirs, w, nd, nmin, s.dtype, cdt, inf)
+    kernel, n_units = _make_row_sweep_kernel(dirs, w, nd, nmin, s.dtype,
+                                             cdt, inf, carry_dt)
     return pl.pallas_call(
         kernel,
         grid=(h,),
@@ -187,8 +240,10 @@ def _row_sweep(cost_u8, p2e, s, dirs, reverse: bool, nmin: Callable,
         ],
         out_specs=pl.BlockSpec((1, w, nd), lambda i: (row(i), 0, 0)),
         out_shape=jax.ShapeDtypeStruct((h, w, nd), s.dtype),
-        scratch_shapes=[pltpu.VMEM((n_dirs, 2, w, nd), cdt)],
+        scratch_shapes=[pltpu.VMEM((n_units, w, nd), carry_dt)],
         input_output_aliases={2: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=_interpret(),
     )(cost_u8, p2e, s)
 
@@ -200,56 +255,82 @@ def _row_sweep(cost_u8, p2e, s, dirs, reverse: bool, nmin: Callable,
 COL_BLOCK = 8  # columns per column-sweep grid step (sublane-aligned DMA)
 
 
-def _make_col_sweep_kernel(reverse: bool, nmin: Callable, s_dtype, cdt):
+def _make_col_sweep_kernel(reverse: bool, nmin: Callable, s_dtype, cdt,
+                           carry_dt, hb: int):
     def kernel(c_ref, p2e_ref, s_ref, s_out_ref, carry_ref):
         j = pl.program_id(0)
+        i = pl.program_id(1)
 
-        @pl.when(j == 0)
+        @pl.when((j == 0) & (i == 0))
         def _():
             carry_ref[...] = jnp.zeros(carry_ref.shape, carry_ref.dtype)
 
+        rows = pl.ds(pl.multiple_of(i * hb, 8), hb)
         cols = range(COL_BLOCK - 1, -1, -1) if reverse else range(COL_BLOCK)
         for c in cols:
-            cost = c_ref[:, c, :].astype(cdt)                # (H, D)
-            prev = carry_ref[0]
+            cost = c_ref[:, c, :].astype(cdt)                # (HB, D)
+            prev = carry_ref[0, rows].astype(cdt)
             m = _lane_min(prev, cdt)
-            p2e = p2e_ref[c][:, None].astype(cdt)            # (H, 1)
+            p2e = p2e_ref[0, 0, :, c][:, None].astype(cdt)   # (HB, 1)
             best = jnp.minimum(jnp.minimum(prev, nmin(prev)), m + p2e)
             l = cost + best - m
-            carry_ref[0] = l
+            carry_ref[0, rows] = l.astype(carry_dt)
             s_out_ref[:, c, :] = (s_ref[:, c, :].astype(cdt)
                                   + l).astype(s_dtype)
 
     return kernel
 
 
+def _row_chunk(h: int, limit: int = 512) -> int:
+    """Largest sublane-aligned (x8) divisor of h <= limit (full h if
+    none — the dynamic carry slice must be provably 8-aligned)."""
+    if h <= limit:
+        return h
+    for hb in range(limit - limit % 8, 0, -8):
+        if h % hb == 0:
+            return hb
+    return h
+
+
 def _col_sweep(cost_u8, p2e, s, reverse: bool, nmin: Callable,
-               cdt=jnp.int32):
+               cdt=jnp.int32, carry_dt=jnp.int32):
     """One horizontal pass ((0,1) forward / (0,-1) reverse) over COL_BLOCK-
     column blocks.  The predecessor is in the same row, so no sublane
     shift/mask is needed; the zero init carry gives L=C on the first column
     (golden first-pixel semantics).  Requires W % COL_BLOCK == 0 — the
     caller zero-pads (zero cost columns are neutral: they propagate a zero
-    carry, reproducing golden edge behavior at the real/pad boundary)."""
+    carry, reproducing golden edge behavior at the real/pad boundary).
+    Rows are chunked (grid dim 1) so 4K-height blocks fit VMEM; each row's
+    scan is independent, so chunking cannot change results — the carry
+    lives in a full-height scratch sliced per chunk."""
     h, w, nd = cost_u8.shape
     assert w % COL_BLOCK == 0, "caller must pad W"
     nb = w // COL_BLOCK
+    hb = _row_chunk(h)
+    nh = h // hb
     blk = (lambda j: nb - 1 - j) if reverse else (lambda j: j)
-    kernel = _make_col_sweep_kernel(reverse, nmin, s.dtype, cdt)
+    kernel = _make_col_sweep_kernel(reverse, nmin, s.dtype, cdt, carry_dt,
+                                    hb)
     return pl.pallas_call(
         kernel,
-        grid=(nb,),
+        grid=(nb, nh),
         in_specs=[
-            pl.BlockSpec((h, COL_BLOCK, nd), lambda j: (0, blk(j), 0)),
-            # p2e comes in TRANSPOSED, (W, H): the (CB, H) block satisfies
-            # Mosaic's sublane/lane rules ((H, CB) would not)
-            pl.BlockSpec((COL_BLOCK, h), lambda j: (blk(j), 0)),
-            pl.BlockSpec((h, COL_BLOCK, nd), lambda j: (0, blk(j), 0)),
+            pl.BlockSpec((hb, COL_BLOCK, nd), lambda j, i: (i, blk(j), 0)),
+            # p2e arrives as (nb, nh, HB, CB): the (1, 1, HB, CB) block has
+            # its last two dims equal to the array's, satisfying Mosaic's
+            # rules for any HB, and puts rows on sublanes so the per-column
+            # (HB, 1) broadcast needs no lane->sublane transpose
+            pl.BlockSpec((1, 1, hb, COL_BLOCK),
+                         lambda j, i: (blk(j), i, 0, 0)),
+            pl.BlockSpec((hb, COL_BLOCK, nd), lambda j, i: (i, blk(j), 0)),
         ],
-        out_specs=pl.BlockSpec((h, COL_BLOCK, nd), lambda j: (0, blk(j), 0)),
+        out_specs=pl.BlockSpec((hb, COL_BLOCK, nd),
+                               lambda j, i: (i, blk(j), 0)),
         out_shape=jax.ShapeDtypeStruct((h, w, nd), s.dtype),
-        scratch_shapes=[pltpu.VMEM((1, h, nd), cdt)],
+        scratch_shapes=[pltpu.VMEM((1, h, nd), carry_dt)],
         input_output_aliases={2: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=_interpret(),
     )(cost_u8, p2e, s)
 
@@ -295,8 +376,11 @@ def aggregate_paths(cost: jnp.ndarray, img: jnp.ndarray,
     # int16 in-kernel arithmetic would halve VPU pressure, but the current
     # Mosaic toolchain cannot legalize 16-bit min/rotate/reduce ops
     # ("failed to legalize arith.minsi"), so compute stays int32; S storage
-    # is still int16 when the preset's bound fits (halved HBM traffic).
+    # is still int16 when the preset's bound fits (halved HBM traffic), and
+    # so is the carry scratch (L <= Cmax + P2 < 2^15) — VMEM headroom that
+    # 4K widths and 16-path carry sets need.
     cdt, inf = jnp.int32, INF32
+    carry_dt = jnp.int16 if 255 + p2 < (1 << 15) else jnp.int32
     if label_ext is None:
         nmin = make_nmin_1d(p1, inf)
     else:
@@ -316,13 +400,20 @@ def aggregate_paths(cost: jnp.ndarray, img: jnp.ndarray,
         canon = [(dy, dx) for dy, dx in down]
         p2e = jnp.stack([_p2_effective(img, dy, dx, p1, p2, adaptive_p2)
                          for dy, dx in down], axis=1)       # (H, n, Wp)
-        s = _row_sweep(cost, p2e, s, canon, False, nmin, cdt, inf)
+        s = _row_sweep(cost, p2e, s, canon, False, nmin, cdt, inf,
+                       carry_dt)
     if up:
         canon = [(-dy, dx) for dy, dx in up]
         p2e = jnp.stack([_p2_effective(img, dy, dx, p1, p2, adaptive_p2)
                          for dy, dx in up], axis=1)
-        s = _row_sweep(cost, p2e, s, canon, True, nmin, cdt, inf)
+        s = _row_sweep(cost, p2e, s, canon, True, nmin, cdt, inf,
+                       carry_dt)
+    hb = _row_chunk(h)
     for dy, dx in horiz:
-        p2e_t = _p2_effective(img, dy, dx, p1, p2, adaptive_p2).T  # (Wp, H)
-        s = _col_sweep(cost, p2e_t, s, reverse=(dx < 0), nmin=nmin, cdt=cdt)
+        p2e_h = _p2_effective(img, dy, dx, p1, p2, adaptive_p2)
+        # (H, Wp) -> (nb, nh, HB, CB): entry (j, i, r, c) = p2e[i*HB+r, j*CB+c]
+        p2e_h = p2e_h.reshape(h // hb, hb, wp // COL_BLOCK, COL_BLOCK)
+        p2e_h = p2e_h.transpose(2, 0, 1, 3)
+        s = _col_sweep(cost, p2e_h, s, reverse=(dx < 0), nmin=nmin,
+                       cdt=cdt, carry_dt=carry_dt)
     return s[:, :w] if wp != w else s

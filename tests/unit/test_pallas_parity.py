@@ -81,6 +81,25 @@ def test_odd_width_padding_exact(w):
     np.testing.assert_array_equal(np.asarray(ours).astype(np.int64), gold)
 
 
+@pytest.mark.parametrize("w", [1544, 3080])
+def test_wide_image_x_chunking_exact(w):
+    """W > X_CHUNK exercises the in-kernel x-chunked row sweep (the 4K
+    path) including the aligned border-block shifts in both directions."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (6, w), dtype=np.uint8)
+    cost = rng.integers(0, 64, (6, w, 8)).astype(np.int64)
+    p1, p2 = 7, 60
+    dirs = [(1, -2), (1, 0), (1, 2), (-1, -1), (-1, 1), (2, 1), (-2, -1),
+            (0, 1), (0, -1)]
+    gold = np.zeros_like(cost)
+    for r in dirs:
+        gold += g.aggregate_one_path(cost, img, r, p1, p2, True)
+    ours = pagg.aggregate_paths(
+        jnp.asarray(cost, dtype=jnp.uint8), jnp.asarray(img), dirs,
+        p1, p2, True)
+    np.testing.assert_array_equal(np.asarray(ours).astype(np.int64), gold)
+
+
 def test_full_pipeline_pallas_backend(volume):
     from fsgm_tpu.models.stereo import stereo_sgm
     img_l, img_r, _ = random_dot_stereo(40, 56, 16, seed=7)
