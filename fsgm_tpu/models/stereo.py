@@ -50,6 +50,8 @@ def extract_disparity(s: jnp.ndarray, params: SGMParams) -> jnp.ndarray:
                             params.max_disp)
     if params.median_filter:
         disp = ext.median_filter_3x3(disp)
+    if params.fill_invalid:
+        disp = ext.interpolate_invalid(disp)
     return disp
 
 

@@ -105,6 +105,55 @@ def lr_check(d_left: jnp.ndarray, d_right: jnp.ndarray, max_diff: int = 1,
     return jnp.where(ok, d_left, jnp.float32(INVALID))
 
 
+def interpolate_invalid(field: jnp.ndarray, max_disp: int | None = None
+                        ) -> jnp.ndarray:
+    """Fill INVALID pixels by row-wise background interpolation (the KITTI
+    devkit convention the reference relies on for dense output): each
+    invalid pixel takes the smaller of its nearest valid left/right
+    neighbor in the row ("background" disparity — occlusions are filled
+    from the farther surface); rows with no valid pixel stay INVALID.
+
+    Expressed as two directional running-value propagations (lax.scan-free:
+    log-step doubling along x) so it stays O(W log W) vector ops.
+    """
+    h, w = field.shape
+    valid = field >= 0
+    big = jnp.float32(1e9)
+
+    def propagate(vals, ok, reverse: bool):
+        # nearest valid value at or before x (after at or after x)
+        v = jnp.where(ok, vals, big)
+        idx = jnp.where(ok, jnp.arange(w, dtype=jnp.int32)[None, :],
+                        jnp.int32(-1) if not reverse else jnp.int32(1 << 30))
+        shift = 1
+        # doubling trick: carry the most recent valid (value, position)
+        while shift < w:
+            if not reverse:
+                v_s = jnp.concatenate(
+                    [jnp.full((h, shift), big), v[:, :-shift]], axis=1)
+                i_s = jnp.concatenate(
+                    [jnp.full((h, shift), -1, jnp.int32),
+                     idx[:, :-shift]], axis=1)
+                take = idx < i_s
+            else:
+                v_s = jnp.concatenate(
+                    [v[:, shift:], jnp.full((h, shift), big)], axis=1)
+                i_s = jnp.concatenate(
+                    [idx[:, shift:],
+                     jnp.full((h, shift), 1 << 30, jnp.int32)], axis=1)
+                take = idx > i_s
+            v = jnp.where(take, v_s, v)
+            idx = jnp.where(take, i_s, idx)
+            shift *= 2
+        return v
+
+    left = propagate(field, valid, reverse=False)
+    right = propagate(field, valid, reverse=True)
+    fill = jnp.minimum(left, right)          # background wins
+    fill = jnp.where(fill >= big, jnp.float32(INVALID), fill)
+    return jnp.where(valid, field, fill)
+
+
 def median_filter_3x3(field: jnp.ndarray) -> jnp.ndarray:
     """3x3 median, edge-replicate padding; matches golden median exactly
     (median of 9 = 5th order statistic).

@@ -53,6 +53,7 @@ class SGMParams:
     lr_check: bool = True              # left-right consistency check
     lr_max_diff: int = 1               # |d_L - d_R| tolerance in pixels
     median_filter: bool = True         # 3x3 median post-filter
+    fill_invalid: bool = False         # background-interpolate LR-failed px
     invalid_cost: int = 255            # cost for out-of-range matches (u8 max)
 
     def __post_init__(self):

@@ -287,6 +287,31 @@ def median_filter_3x3(field: np.ndarray) -> np.ndarray:
     return stack[4]
 
 
+
+
+def interpolate_invalid(field: np.ndarray) -> np.ndarray:
+    """Row-wise background fill of INVALID pixels (KITTI devkit style):
+    an invalid pixel takes min(nearest valid left, nearest valid right);
+    rows with no valid pixel stay INVALID."""
+    out = field.copy()
+    h, w = field.shape
+    for y in range(h):
+        row = field[y]
+        valid_x = np.flatnonzero(row >= 0)
+        if valid_x.size == 0:
+            continue
+        for x in np.flatnonzero(row < 0):
+            li = valid_x[valid_x < x]
+            ri = valid_x[valid_x > x]
+            cands = []
+            if li.size:
+                cands.append(row[li[-1]])
+            if ri.size:
+                cands.append(row[ri[0]])
+            out[y, x] = min(cands)
+    return out
+
+
 # --------------------------------------------------------------------------
 # Full pipeline
 # --------------------------------------------------------------------------
@@ -308,6 +333,8 @@ def sgm_stereo(img_l: np.ndarray, img_r: np.ndarray, params: SGMParams,
         disp = lr_check(disp, d_right, params.lr_max_diff)
     if params.median_filter:
         disp = median_filter_3x3(disp)
+    if params.fill_invalid:
+        disp = interpolate_invalid(disp)
     if return_intermediates:
         return disp, dict(census_l=cen_l, census_r=cen_r, cost=cost, S=s,
                           d_int=d_int)

@@ -133,3 +133,22 @@ def test_accuracy_on_stereogram():
     bad = (err > 1.0) & valid
     assert valid.mean() > 0.8
     assert bad.sum() / valid.sum() < 0.05
+
+
+def test_interpolate_invalid_exact(rng):
+    f = rng.normal(size=(20, 33)).astype(np.float32) * 10
+    f[f < 0] = -1.0
+    f[3, :] = -1.0  # fully invalid row stays invalid
+    gold = g.interpolate_invalid(f.astype(np.float64))
+    ours = np.asarray(jext.interpolate_invalid(jnp.asarray(f)))
+    np.testing.assert_allclose(ours, gold, atol=1e-5)
+
+
+def test_full_pipeline_with_fill(pair):
+    img_l, img_r, _ = pair
+    p = SGMParams(max_disp=16, p1=7, p2=60, fill_invalid=True)
+    gold = g.sgm_stereo(img_l, img_r, p)
+    ours = np.asarray(stereo_sgm(jnp.asarray(img_l), jnp.asarray(img_r), p))
+    np.testing.assert_array_equal(ours < 0, gold < 0)
+    both = ours >= 0
+    np.testing.assert_allclose(ours[both], gold[both], atol=1e-3)
