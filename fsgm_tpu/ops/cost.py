@@ -43,29 +43,62 @@ def cost_volume_flow(cen1: jnp.ndarray, cen2: jnp.ndarray,
                      base_u: jnp.ndarray, base_v: jnp.ndarray,
                      radius: int, invalid_cost: int = 255,
                      y_offset: int | jnp.ndarray = 0) -> jnp.ndarray:
-    """(H, W, (2w+1)^2) uint8 flow cost volume.
+    """(H, W, (2w+1)^2) uint8 flow cost volume, warp-then-shift form.
 
-    base_u/base_v: (H, W) int32 rounded prior flow.  Label order matches
-    golden/flow.py::cost_volume_flow: l = (dv+w)*(2w+1) + (du+w).
+    Exactly mirrors golden/flow.py::cost_volume_flow: the second image's
+    census is warped ONCE by the rounded prior flow (a single per-pixel
+    gather — the per-pixel-per-label gather XLA would otherwise emit costs
+    ~400 ms/frame on TPU), then the (2w+1)^2 window offsets are STATIC
+    shifts of the warped descriptors.  Label order l = (dv+w)*(2w+1)+(du+w).
 
-    Tiled mode: cen1 may be a row tile of the first image while cen2 is
-    the FULL second image (flow targets are unbounded vertically, so the
-    gather needs global rows); y_offset is the tile's global starting row.
+    Tiled mode: cen1 is a row tile, cen2 the FULL second image, y_offset
+    the tile's global starting row, and base_u/base_v arrive EXTENDED by
+    `radius` true halo rows per side (the dv shifts read warped
+    descriptors across tile seams).  Untiled callers pass unextended
+    fields; rows beyond the provided halo are invalid-padded internally,
+    which matches the golden bounds semantics.
     """
     h, w = cen1.shape[:2]
-    ext = 2 * radius + 1
-    yy = jnp.arange(h, dtype=jnp.int32)[:, None, None] + y_offset
-    xx = jnp.arange(w, dtype=jnp.int32)[None, :, None]
-    offs = jnp.arange(ext * ext, dtype=jnp.int32)[None, None, :]
-    dv = offs // ext - radius
-    du = offs % ext - radius
-    ty = yy + base_v[:, :, None] + dv                      # (H, W, L)
-    tx = xx + base_u[:, :, None] + du
-    h2 = cen2.shape[0]  # == h untiled; full image height in tiled mode
-    ok = (ty >= 0) & (ty < h2) & (tx >= 0) & (tx < w)
-    tyc = jnp.clip(ty, 0, h2 - 1)
-    txc = jnp.clip(tx, 0, w - 1)
-    cen2_g = cen2[tyc, txc]                                # (H, W, L, words)
-    ham = hamming(cen1[:, :, None, :], cen2_g)
-    c = jnp.where(ok, ham, invalid_cost)
-    return c.astype(jnp.uint8)
+    h2 = cen2.shape[0]
+    hb = base_u.shape[0]             # h (untiled) or h + 2*halo (tiled)
+    halo = (hb - h) // 2
+    yy = jnp.arange(hb, dtype=jnp.int32)[:, None] - halo + y_offset
+    xx = jnp.arange(w, dtype=jnp.int32)[None, :]
+    sy = yy + base_v
+    sx = xx + base_u
+    ok_w = (sy >= 0) & (sy < h2) & (sx >= 0) & (sx < w) & \
+        (yy >= 0) & (yy < h2)
+    cen2w = cen2[jnp.clip(sy, 0, h2 - 1), jnp.clip(sx, 0, w - 1)]
+    if halo < radius:                # extend with invalid rows
+        e = radius - halo
+        zrow = jnp.zeros((e,) + cen2w.shape[1:], cen2w.dtype)
+        cen2w = jnp.concatenate([zrow, cen2w, zrow], axis=0)
+        frow = jnp.zeros((e, w), bool)
+        ok_w = jnp.concatenate([frow, ok_w, frow], axis=0)
+        halo = radius
+    yg = jnp.arange(h, dtype=jnp.int32)[:, None] + y_offset  # center rows
+    planes = []
+    for dv in range(-radius, radius + 1):
+        y0 = halo + dv
+        sh = cen2w[y0: y0 + h]
+        ok0 = ok_w[y0: y0 + h]
+        inb = (yg + dv >= 0) & (yg + dv < h2)
+        for du in range(-radius, radius + 1):
+            if du > 0:
+                shifted = jnp.concatenate(
+                    [sh[:, du:],
+                     jnp.zeros((h, du) + sh.shape[2:], sh.dtype)], axis=1)
+                ok = jnp.concatenate(
+                    [ok0[:, du:], jnp.zeros((h, du), bool)], axis=1)
+            elif du < 0:
+                shifted = jnp.concatenate(
+                    [jnp.zeros((h, -du) + sh.shape[2:], sh.dtype),
+                     sh[:, :du]], axis=1)
+                ok = jnp.concatenate(
+                    [jnp.zeros((h, -du), bool), ok0[:, :du]], axis=1)
+            else:
+                shifted, ok = sh, ok0
+            ham = hamming(cen1, shifted)
+            planes.append(jnp.where(ok & inb, ham,
+                                    invalid_cost).astype(jnp.uint8))
+    return jnp.stack(planes, axis=-1)

@@ -53,8 +53,13 @@ def _flow_level_tile(i1_t, i2_full, prior_flow_t, params: FlowParams,
     cen1 = census_transform(i1_ext, params.census_window)[halo:-halo]
     cen2 = census_transform(i2_full, params.census_window)
 
-    base_u = jnp.rint(prior_flow_t[..., 0]).astype(jnp.int32)
-    base_v = jnp.rint(prior_flow_t[..., 1]).astype(jnp.int32)
+    # warp-then-shift cost build needs `radius` TRUE halo rows of the
+    # prior flow: the static dv shifts read warped descriptors across
+    # tile seams (fsgm_tpu/ops/cost.py::cost_volume_flow tiled mode).
+    r = params.search_radius
+    flow_ext = _exchange_row_halo(prior_flow_t, r, axis, t)
+    base_u = jnp.rint(flow_ext[..., 0]).astype(jnp.int32)
+    base_v = jnp.rint(flow_ext[..., 1]).astype(jnp.int32)
     cost = cost_volume_flow(cen1, cen2, base_u, base_v,
                             params.search_radius, params.invalid_cost,
                             y_offset=y0)
@@ -75,8 +80,8 @@ def _flow_level_tile(i1_t, i2_full, prior_flow_t, params: FlowParams,
                                 params.adaptive_p2, neighbor_min=nm)
 
     du, dv, l_int = mflow.wta_flow(s, params.search_radius)
-    u = (base_u + du).astype(jnp.float32)
-    v = (base_v + dv).astype(jnp.float32)
+    u = (base_u[r:-r] + du).astype(jnp.float32)
+    v = (base_v[r:-r] + dv).astype(jnp.float32)
     if params.subpixel:
         du_off, dv_off = mflow.subpixel_flow(s, l_int, params.search_radius)
         u = u + du_off

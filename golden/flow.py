@@ -76,24 +76,42 @@ def cost_volume_flow(cen1: np.ndarray, cen2: np.ndarray,
                      radius: int, invalid_cost: int = 255) -> np.ndarray:
     """C[y, x, l] over labels l = (dv + w) * (2w+1) + (du + w).
 
-    Match target is pixel (y + base_v + dv, x + base_u + du) in image 2;
-    out-of-bounds targets get invalid_cost.  base_* are int64 per-pixel
-    offsets (rounded prior flow).
+    Warp-then-shift formulation (the classical coarse-to-fine recipe, and
+    the only one that maps to TPU hardware: a per-pixel-per-label gather
+    is ~400 ms/frame on TPU, a single per-pixel warp plus static window
+    shifts is ~100x cheaper):
+
+      1. warp the second image's census by the rounded prior flow once:
+         cen2w[y, x] = cen2[y + base_v, x + base_u];
+      2. the label (du, dv) then matches cen2w at the STATIC offset
+         (y + dv, x + du).
+
+    The matched target is therefore pixel
+      ((y+dv) + base_v(y+dv, x+du), (x+du) + base_u(y+dv, x+du))
+    — the prior flow is sampled at the window position rather than the
+    window center.  For the median-filtered, piecewise-smooth priors the
+    pyramid produces, the two are equal except near motion boundaries.
+    Out-of-bounds window positions or warp sources get invalid_cost.
     """
     h, w = cen1.shape
     ext = 2 * radius + 1
     nl = ext * ext
-    c = np.full((h, w, nl), int(invalid_cost), dtype=np.int64)
     yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    sy = yy + base_v
+    sx = xx + base_u
+    ok_w = (sy >= 0) & (sy < h) & (sx >= 0) & (sx < w)
+    cen2w = cen2[np.clip(sy, 0, h - 1), np.clip(sx, 0, w - 1)]
+    c = np.full((h, w, nl), int(invalid_cost), dtype=np.int64)
     for dv in range(-radius, radius + 1):
         for du in range(-radius, radius + 1):
             l = (dv + radius) * ext + (du + radius)
-            ty = yy + base_v + dv
-            tx = xx + base_u + du
-            ok = (ty >= 0) & (ty < h) & (tx >= 0) & (tx < w)
+            ty = yy + dv
+            tx = xx + du
+            inb = (ty >= 0) & (ty < h) & (tx >= 0) & (tx < w)
             tyc = np.clip(ty, 0, h - 1)
             txc = np.clip(tx, 0, w - 1)
-            ham = hamming(cen1, cen2[tyc, txc])
+            ok = inb & ok_w[tyc, txc]
+            ham = hamming(cen1, cen2w[tyc, txc])
             c[:, :, l] = np.where(ok, ham, int(invalid_cost))
     return c
 
