@@ -206,6 +206,82 @@ def cmd_batch(args) -> int:
     return 0
 
 
+def cmd_scale_test(args) -> int:
+    """Weak-scaling harness (SURVEY.md §3.5 `run_bench --hosts N`).
+
+    Spawns N localhost processes with jax.distributed (the multi-host test
+    tier), each contributing `--devices-per-proc` virtual CPU devices to a
+    global (frame, ty) mesh, and times the tiled pipeline at 1..N
+    processes; reports frames/s + weak-scaling efficiency.  On a real pod
+    the same code path runs with real hosts — this validates the DCN
+    machinery and the accounting end-to-end.
+    """
+    import subprocess
+    import tempfile
+
+    worker = r'''
+import os, sys, time
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=%d"
+os.environ.pop("JAX_PLATFORMS", None)
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+if nproc > 1:
+    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                               num_processes=nproc, process_id=pid)
+import numpy as np, jax.numpy as jnp
+from fsgm_tpu.params import SGMParams, DistParams
+from fsgm_tpu.io.synthetic import random_dot_stereo
+from fsgm_tpu.parallel.tiled import stereo_sgm_sharded
+from fsgm_tpu.parallel.multihost import global_mesh
+mesh = global_mesh()
+p = SGMParams(max_disp=32, p1=7, p2=60)
+dist = DistParams(tiles_y=mesh.shape["ty"], frame_shards=mesh.shape["frame"],
+                  tile_mode="fast", margin=8)
+F = mesh.shape["frame"]
+pairs = [random_dot_stereo(96, 128, 32, seed=s) for s in range(F)]
+il = jnp.asarray(np.stack([q[0] for q in pairs]))
+ir = jnp.asarray(np.stack([q[1] for q in pairs]))
+out = stereo_sgm_sharded(il, ir, p, dist, mesh)  # compile
+out.block_until_ready()
+reps = %d
+t0 = time.perf_counter()
+for _ in range(reps):
+    stereo_sgm_sharded(il, ir, p, dist, mesh).block_until_ready()
+dt = (time.perf_counter() - t0) / reps
+if pid == 0:
+    print(f"RESULT {F / dt:.3f}", flush=True)
+'''
+    repo = str(Path(__file__).resolve().parents[2])
+    results = {}
+    for nproc in sorted({1, args.procs}):
+        src = worker % (args.devices_per_proc, args.reps)
+        with tempfile.NamedTemporaryFile("w", suffix=".py",
+                                         delete=False) as f:
+            f.write(src)
+            wpath = f.name
+        env = dict(__import__("os").environ)
+        env["PYTHONPATH"] = repo
+        env.pop("XLA_FLAGS", None)
+        procs = [subprocess.Popen(
+            [sys.executable, wpath, str(pid), str(nproc), str(args.port)],
+            env=env, cwd=repo, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT) for pid in range(nproc)]
+        outs = [pr.communicate(timeout=600)[0].decode() for pr in procs]
+        for pr, o in zip(procs, outs):
+            if pr.returncode != 0:
+                print(o[-2000:], file=sys.stderr)
+                return 1
+        fps = float([ln for ln in outs[0].splitlines()
+                     if ln.startswith("RESULT")][0].split()[1])
+        results[nproc] = fps
+    from fsgm_tpu.parallel.multihost import weak_scaling_report
+    rep = weak_scaling_report(results[args.procs], args.procs, results[1])
+    rep["frames_per_s_1host"] = results[1]
+    print(json.dumps(rep))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import subprocess
     env = dict(__import__("os").environ)
@@ -258,6 +334,15 @@ def main(argv=None) -> int:
                     default=0, help="die after N frames (recovery test)")
     _add_stereo_args(tp)
     tp.set_defaults(fn=cmd_batch)
+
+    st = sub.add_parser("scale-test",
+                        help="weak-scaling harness over N localhost procs")
+    st.add_argument("--procs", type=int, default=2)
+    st.add_argument("--devices-per-proc", dest="devices_per_proc", type=int,
+                    default=4)
+    st.add_argument("--reps", type=int, default=3)
+    st.add_argument("--port", type=int, default=29531)
+    st.set_defaults(fn=cmd_scale_test)
 
     bp = sub.add_parser("bench", help="throughput harness")
     bp.add_argument("--backend", default="auto",

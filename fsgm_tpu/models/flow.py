@@ -18,7 +18,7 @@ stack; golden/flow.py is the exact-integer oracle):
 
 from __future__ import annotations
 
-import dataclasses
+
 import functools
 
 import jax
@@ -147,13 +147,14 @@ def fb_check(flow_fwd: jnp.ndarray, flow_bwd: jnp.ndarray, max_diff: float
 # --------------------------------------------------------------------------
 
 def _flow_one_level(img1, img2, prior_flow, params: FlowParams,
-                    backend: str):
+                    backend: str, is_coarsest: bool = False):
     base_u = jnp.rint(prior_flow[..., 0]).astype(jnp.int32)
     base_v = jnp.rint(prior_flow[..., 1]).astype(jnp.int32)
     cen1 = census_transform(img1, params.census_window)
     cen2 = census_transform(img2, params.census_window)
     cost = cost_volume_flow(cen1, cen2, base_u, base_v,
-                            params.search_radius, params.invalid_cost)
+                            params.search_radius, params.invalid_cost,
+                            identity_base=is_coarsest)
     extw = params.window_extent
     if backend == "pallas":
         from fsgm_tpu.ops.pallas import aggregate_pallas
@@ -187,7 +188,8 @@ def _fsgm_flow_oneway(img1, img2, params: FlowParams, backend: str):
         i1, i2 = pyr1[lvl], pyr2[lvl]
         if lvl < params.levels - 1:
             flow = upsample_flow_2x(flow, i1.shape[0], i1.shape[1])
-        flow = _flow_one_level(i1, i2, flow, params, backend)
+        flow = _flow_one_level(i1, i2, flow, params, backend,
+                               is_coarsest=(lvl == params.levels - 1))
     return flow
 
 

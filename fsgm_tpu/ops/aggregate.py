@@ -22,7 +22,6 @@ always-correct XLA fallback and the tracing skeleton for tiled execution.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Sequence, Tuple
 
 import jax

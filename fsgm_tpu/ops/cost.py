@@ -12,6 +12,7 @@ casting at the end, per SURVEY.md layer L1).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from fsgm_tpu.ops.census import hamming
@@ -42,7 +43,8 @@ def cost_volume_stereo(cen_l: jnp.ndarray, cen_r: jnp.ndarray,
 def cost_volume_flow(cen1: jnp.ndarray, cen2: jnp.ndarray,
                      base_u: jnp.ndarray, base_v: jnp.ndarray,
                      radius: int, invalid_cost: int = 255,
-                     y_offset: int | jnp.ndarray = 0) -> jnp.ndarray:
+                     y_offset: int | jnp.ndarray = 0,
+                     identity_base: bool = False) -> jnp.ndarray:
     """(H, W, (2w+1)^2) uint8 flow cost volume, warp-then-shift form.
 
     Exactly mirrors golden/flow.py::cost_volume_flow: the second image's
@@ -66,9 +68,24 @@ def cost_volume_flow(cen1: jnp.ndarray, cen2: jnp.ndarray,
     xx = jnp.arange(w, dtype=jnp.int32)[None, :]
     sy = yy + base_v
     sx = xx + base_u
-    ok_w = (sy >= 0) & (sy < h2) & (sx >= 0) & (sx < w) & \
-        (yy >= 0) & (yy < h2)
-    cen2w = cen2[jnp.clip(sy, 0, h2 - 1), jnp.clip(sx, 0, w - 1)]
+    if identity_base:
+        # coarsest pyramid level: the prior flow is identically zero, so
+        # the per-pixel warp gather (~4 ms/frame, index-bound) is skipped;
+        # cen2w rows are just cen2 at the tile's global rows (zero rows
+        # outside — masked invalid by ok_w anyway)
+        ok_w = jnp.broadcast_to((yy >= 0) & (yy < h2), (hb, w))
+        if hb == h2 and isinstance(y_offset, int) and y_offset == 0 \
+                and halo == 0:
+            cen2w = cen2
+        else:
+            padded = jnp.pad(
+                cen2, ((halo, halo),) + ((0, 0),) * (cen2.ndim - 1))
+            cen2w = jax.lax.dynamic_slice_in_dim(
+                padded, y_offset + 0, hb, axis=0)
+    else:
+        ok_w = (sy >= 0) & (sy < h2) & (sx >= 0) & (sx < w) & \
+            (yy >= 0) & (yy < h2)
+        cen2w = cen2[jnp.clip(sy, 0, h2 - 1), jnp.clip(sx, 0, w - 1)]
     if halo < radius:                # extend with invalid rows
         e = radius - halo
         zrow = jnp.zeros((e,) + cen2w.shape[1:], cen2w.dtype)

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from fsgm_tpu.params import SGMParams, INVALID
+from fsgm_tpu.params import SGMParams
 from fsgm_tpu.ops.census import census_transform, hamming
 from fsgm_tpu.ops import extract as ext
 

@@ -41,7 +41,8 @@ def _all_gather_rows(x_t, axis: str):
 
 
 def _flow_level_tile(i1_t, i2_full, prior_flow_t, params: FlowParams,
-                     dist: DistParams, axis: str, t: int):
+                     dist: DistParams, axis: str, t: int,
+                     is_coarsest: bool = False):
     """One pyramid level on a row tile; i2_full is the full second image."""
     ht = i1_t.shape[0]
     my = jax.lax.axis_index(axis)
@@ -62,7 +63,7 @@ def _flow_level_tile(i1_t, i2_full, prior_flow_t, params: FlowParams,
     base_v = jnp.rint(flow_ext[..., 1]).astype(jnp.int32)
     cost = cost_volume_flow(cen1, cen2, base_u, base_v,
                             params.search_radius, params.invalid_cost,
-                            y_offset=y0)
+                            y_offset=y0, identity_base=is_coarsest)
 
     above2 = i1_ext[halo - 2: halo]
     below2 = i1_ext[halo + ht: halo + ht + 2]
@@ -104,7 +105,8 @@ def _flow_oneway_tile(img1_t, img2_t, params: FlowParams, dist: DistParams,
         i1 = pyr1[lvl]
         if lvl < params.levels - 1:
             flow = mflow.upsample_flow_2x(flow, i1.shape[0], i1.shape[1])
-        flow = _flow_level_tile(i1, pyr2[lvl], flow, params, dist, axis, t)
+        flow = _flow_level_tile(i1, pyr2[lvl], flow, params, dist, axis, t,
+                                is_coarsest=(lvl == params.levels - 1))
     return flow
 
 

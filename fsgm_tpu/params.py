@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Optional, Tuple
+from typing import Tuple
 
 # 8-path direction set: (dy, dx) of the path step r; the predecessor of
 # pixel p along path r is p - r.  (Hirschmueller, PAMI 2008, Sec. 2.3.)

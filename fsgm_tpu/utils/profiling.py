@@ -13,7 +13,6 @@ import contextlib
 import json
 import time
 
-import numpy as np
 
 # HBM peak per chip; v5e ~819 GB/s (public spec).  Used for achieved-%.
 HBM_PEAK_GBS = {"tpu v5 lite": 819.0, "tpu v5e": 819.0}
