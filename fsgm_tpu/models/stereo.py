@@ -27,13 +27,23 @@ def compute_s_volume(img_l: jnp.ndarray, img_r: jnp.ndarray,
     """census -> cost -> aggregated S volume, int32 (H, W, D)."""
     cen_l = census_transform(img_l, params.census_window)
     cen_r = census_transform(img_r, params.census_window)
-    cost = cost_volume_stereo(cen_l, cen_r, params.max_disp,
-                              params.invalid_cost)
     if backend == "pallas":
-        from fsgm_tpu.ops.pallas import aggregate_pallas
+        from fsgm_tpu.ops.pallas import aggregate_pallas, cost_pallas
+        import os
+        if os.environ.get("FSGM_PALLAS_COST", "0") == "1":
+            # the shear kernel measures ~equal in isolation but costs
+            # ~3 ms/frame end-to-end (breaks an XLA fusion/layout chain);
+            # opt-in for study, XLA builder by default
+            cost = cost_pallas.cost_volume_stereo(
+                cen_l, cen_r, params.max_disp, params.invalid_cost)
+        else:
+            cost = cost_volume_stereo(cen_l, cen_r, params.max_disp,
+                                      params.invalid_cost)
         return aggregate_pallas.aggregate_paths(
             cost, img_l, params.dirs, params.p1, params.p2,
             params.adaptive_p2, s_max=params.s_invalid)
+    cost = cost_volume_stereo(cen_l, cen_r, params.max_disp,
+                              params.invalid_cost)
     return agg.aggregate_paths(cost, img_l, params.dirs, params.p1,
                                params.p2, params.adaptive_p2)
 

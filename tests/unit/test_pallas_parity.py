@@ -134,3 +134,17 @@ def test_wta_neighborhood_kernel_exact(nd):
     np.testing.assert_array_equal(
         np.asarray(s_p)[interior],
         s64[yy, xx, np.clip(gold_d + 1, 0, nd - 1)][interior])
+
+
+@pytest.mark.parametrize("window", [(5, 5), (9, 7)])
+def test_cost_kernel_exact(window):
+    """Pallas shear-based cost builder == golden, incl. 2-word census."""
+    from fsgm_tpu.ops.pallas import cost_pallas
+    from fsgm_tpu.ops import census as jcensus
+    img_l, img_r, _ = random_dot_stereo(24, 40, 16, seed=2)
+    gold = g.cost_volume_stereo(g.census_transform(img_l, window),
+                                g.census_transform(img_r, window), 16)
+    ours = cost_pallas.cost_volume_stereo(
+        jcensus.census_transform(jnp.asarray(img_l), window),
+        jcensus.census_transform(jnp.asarray(img_r), window), 16)
+    np.testing.assert_array_equal(np.asarray(ours).astype(np.int64), gold)
