@@ -35,7 +35,7 @@ SOL_MPDS = 16000.0         # derived HBM speed-of-light, SURVEY.md §7.4
 
 CONFIGS = {
     # name: (H, W, D_or_labels, batch, metric_name)
-    "kitti":   (375, 1242, 128, 8, "kitti_stereo_sgm_throughput"),
+    "kitti":   (375, 1242, 128, 16, "kitti_stereo_sgm_throughput"),
     "tsukuba": (288, 384, 64, 16, "tsukuba_stereo_sgm_throughput"),
     "kitti16": (375, 1242, 128, 8, "kitti_16path_adaptive_throughput"),
     "4k":      (2160, 3840, 128, 1, "uhd_stereo_sgm_throughput"),
