@@ -148,3 +148,18 @@ def test_cost_kernel_exact(window):
         jcensus.census_transform(jnp.asarray(img_l), window),
         jcensus.census_transform(jnp.asarray(img_r), window), 16)
     np.testing.assert_array_equal(np.asarray(ours).astype(np.int64), gold)
+
+
+def test_full_pipeline_pallas_9x7_census():
+    """9x7 census (62 bits, 2-word descriptors) through the whole Pallas
+    stereo pipeline."""
+    from fsgm_tpu.models.stereo import stereo_sgm
+    img_l, img_r, _ = random_dot_stereo(40, 56, 16, seed=4)
+    p = SGMParams(max_disp=16, p1=7, p2=60, census_window=(9, 7),
+                  num_paths=16, adaptive_p2=True)
+    gold = g.sgm_stereo(img_l, img_r, p)
+    ours = np.asarray(stereo_sgm(jnp.asarray(img_l), jnp.asarray(img_r), p,
+                                 "pallas"))
+    np.testing.assert_array_equal(ours < 0, gold < 0)
+    both = ours >= 0
+    np.testing.assert_allclose(ours[both], gold[both], atol=1e-3)
