@@ -40,6 +40,10 @@ def _load():
     lib.aggregate_paths.argtypes = [i64p, u8p, c, c, c, i32p, c, c64, c64,
                                     c, i64p]
     lib.wta.argtypes = [i64p, c, c, c, i32p]
+    lib.cost_volume_flow.argtypes = [u64p, u64p, i32p, i32p, c, c, c, c64,
+                                     i64p]
+    lib.aggregate_paths_2d.argtypes = [i64p, u8p, c, c, c, i32p, c, c64,
+                                       c64, c, i64p]
     _lib = lib
     return lib
 
@@ -94,4 +98,32 @@ def wta(s) -> np.ndarray:
     h, w, nd = s.shape
     out = np.empty((h, w), dtype=np.int32)
     lib.wta(s, h, w, nd, out)
+    return out
+
+
+def cost_volume_flow(cen1, cen2, base_u, base_v, radius: int,
+                     invalid_cost: int = 255) -> np.ndarray:
+    lib = _load()
+    cen1 = np.ascontiguousarray(cen1, dtype=np.uint64)
+    cen2 = np.ascontiguousarray(cen2, dtype=np.uint64)
+    h, w = cen1.shape
+    bu = np.ascontiguousarray(base_u, dtype=np.int32)
+    bv = np.ascontiguousarray(base_v, dtype=np.int32)
+    ext = 2 * radius + 1
+    out = np.empty((h, w, ext * ext), dtype=np.int64)
+    lib.cost_volume_flow(cen1, cen2, bu, bv, h, w, radius, invalid_cost,
+                         out)
+    return out
+
+
+def aggregate_paths_2d(cost, img, radius: int, dirs, p1, p2,
+                       adaptive_p2=False) -> np.ndarray:
+    lib = _load()
+    cost = np.ascontiguousarray(cost, dtype=np.int64)
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, _ = cost.shape
+    dirs_a = np.ascontiguousarray(dirs, dtype=np.int32)
+    out = np.empty_like(cost)
+    lib.aggregate_paths_2d(cost, img, h, w, radius, dirs_a, len(dirs),
+                           p1, p2, int(adaptive_p2), out)
     return out

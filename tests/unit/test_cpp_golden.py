@@ -64,3 +64,24 @@ def test_full_s_and_wta_exact(pair):
     np.testing.assert_array_equal(s_cpp, s_np)
     np.testing.assert_array_equal(cpp.wta(s_cpp).astype(np.int64),
                                   g.wta(s_np))
+
+
+def test_flow_cost_and_aggregation_exact(pair):
+    """C++ flow primitives (warp cost + 2D-label aggregation) == NumPy."""
+    import golden.flow as gf
+    from fsgm_tpu.params import FlowParams
+    img1, img2, _ = pair
+    r = 3
+    rng = np.random.default_rng(5)
+    bu = rng.integers(-2, 3, img1.shape)
+    bv = rng.integers(-2, 3, img1.shape)
+    cen1 = g.census_transform(img1)
+    cen2 = g.census_transform(img2)
+    gold_c = gf.cost_volume_flow(cen1, cen2, bu, bv, r)
+    cpp_c = cpp.cost_volume_flow(cen1, cen2, bu, bv, r)
+    np.testing.assert_array_equal(cpp_c, gold_c)
+
+    p = FlowParams(search_radius=r, p1=7, p2=60)
+    gold_s = gf.aggregate_paths_flow(gold_c, img1, p)
+    cpp_s = cpp.aggregate_paths_2d(gold_c, img1, r, DIRS_8, 7, 60)
+    np.testing.assert_array_equal(cpp_s, gold_s)
