@@ -133,3 +133,17 @@ def test_stage_timer():
     assert rep[0]["stage"] == "x" and rep[0]["bytes"] == 1000
     model = sgm_bytes_model(375, 1242, 128, 8)
     assert model["total"] > model["aggregate"] > 0
+
+
+def test_presets_load():
+    from pathlib import Path
+    from fsgm_tpu.params import load_preset, SGMParams, FlowParams
+    cfgs = sorted((Path(__file__).resolve().parents[2] / "configs").glob("*.json"))
+    assert len(cfgs) == 5
+    kinds = set()
+    for c in cfgs:
+        d = load_preset(c)
+        for v in d.values():
+            if isinstance(v, (SGMParams, FlowParams)):
+                kinds.add(type(v).__name__)
+    assert kinds == {"SGMParams", "FlowParams"}
