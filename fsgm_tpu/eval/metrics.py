@@ -31,14 +31,18 @@ def d1_all(disp_pred: np.ndarray, disp_gt: np.ndarray,
 
 def fl_all(flow_pred: np.ndarray, flow_gt: np.ndarray,
            valid_gt: np.ndarray | None = None,
-           tau_px: float = 3.0, tau_rel: float = 0.05) -> dict:
-    """KITTI flow metric.  flow_*: (H, W, 2); invalid pred = component < -0.5
-    (INVALID sentinel)."""
+           tau_px: float = 3.0, tau_rel: float = 0.05,
+           pred_valid: np.ndarray | None = None) -> dict:
+    """KITTI flow metric.  flow_*: (H, W, 2).
+
+    `pred_valid` is the prediction's explicit (H, W) validity plane (what
+    flow_fsgm returns); without it every prediction counts as valid — a
+    flow VALUE is never treated as an invalidity sentinel, since any
+    in-range sentinel (e.g. -1) collides with real leftward motion."""
     if valid_gt is None:
         valid_gt = np.ones(flow_gt.shape[:2], dtype=bool)
-    pred_valid = np.all(flow_pred > -0.5, axis=-1) | \
-        (np.abs(flow_pred).sum(-1) > 0)
-    pred_valid = flow_pred[..., 0] > -1.0 + 1e-6  # INVALID marks both comps
+    if pred_valid is None:
+        pred_valid = np.ones(flow_pred.shape[:2], dtype=bool)
     epe = np.sqrt(((flow_pred - flow_gt) ** 2).sum(-1))
     mag = np.sqrt((flow_gt ** 2).sum(-1))
     bad = (epe > tau_px) & (epe > tau_rel * mag)

@@ -62,8 +62,10 @@ def write_flow_png(path, flow: np.ndarray, valid: np.ndarray | None = None
                    ) -> None:
     h, w = flow.shape[:2]
     if valid is None:
-        valid = np.all(flow > -0.5, axis=-1) | np.any(np.abs(flow) > 1e-9,
-                                                      axis=-1)
+        # No validity plane supplied: everything is valid.  A flow VALUE is
+        # never a reliable invalidity signal (leftward motion is in-range),
+        # so no sentinel heuristic here — pass the mask flow_fsgm returns.
+        valid = np.ones((h, w), dtype=bool)
     raw = np.zeros((h, w, 3), dtype=np.uint16)
     raw[..., 0] = np.clip(flow[..., 0] * 64.0 + 2 ** 15, 0, 65535)
     raw[..., 1] = np.clip(flow[..., 1] * 64.0 + 2 ** 15, 0, 65535)

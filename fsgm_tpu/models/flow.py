@@ -24,7 +24,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from fsgm_tpu.params import FlowParams, DIRS_8, INVALID
+from fsgm_tpu.params import FlowParams, DIRS_8
 from fsgm_tpu.ops.census import census_transform
 from fsgm_tpu.ops.cost import cost_volume_flow
 from fsgm_tpu.ops import aggregate as agg
@@ -126,7 +126,11 @@ def subpixel_flow(s: jnp.ndarray, l_int: jnp.ndarray, radius: int):
 
 def fb_check(flow_fwd: jnp.ndarray, flow_bwd: jnp.ndarray, max_diff: float
              ) -> jnp.ndarray:
-    """|F(p) + B(p + round(F(p)))| <= max_diff else INVALID (both comps)."""
+    """(H, W) bool: |F(p) + B(p + round(F(p)))| <= max_diff.
+
+    Returns an explicit validity plane instead of writing an in-range
+    sentinel like (-1, -1) into the field (a real leftward flow of exactly
+    (-1, -1) would be indistinguishable from an invalidated pixel)."""
     h, w = flow_fwd.shape[:2]
     yy = jnp.arange(h, dtype=jnp.int32)[:, None]
     xx = jnp.arange(w, dtype=jnp.int32)[None, :]
@@ -138,8 +142,7 @@ def fb_check(flow_fwd: jnp.ndarray, flow_bwd: jnp.ndarray, max_diff: float
     b = flow_bwd[tyc, txc]
     err = jnp.sqrt((flow_fwd[..., 0] + b[..., 0]) ** 2
                    + (flow_fwd[..., 1] + b[..., 1]) ** 2)
-    ok = inb & (err <= max_diff)
-    return jnp.where(ok[..., None], flow_fwd, jnp.float32(INVALID))
+    return inb & (err <= max_diff)
 
 
 # --------------------------------------------------------------------------
@@ -195,12 +198,15 @@ def _fsgm_flow_oneway(img1, img2, params: FlowParams, backend: str):
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def flow_fsgm(img1: jnp.ndarray, img2: jnp.ndarray, params: FlowParams,
-              backend: str = "xla") -> jnp.ndarray:
-    """Full fSGM: (H, W) uint8 pair -> (H, W, 2) float32 flow (u, v).
+              backend: str = "xla"):
+    """Full fSGM: (H, W) uint8 pair -> (flow (H, W, 2) float32, valid
+    (H, W) bool).
 
-    INVALID (-1) marks pixels failing the forward-backward check."""
+    `valid` is False where the forward-backward check failed; flow values
+    at invalid pixels are the unchecked forward estimates (callers mask)."""
     flow = _fsgm_flow_oneway(img1, img2, params, backend)
+    valid = jnp.ones(flow.shape[:2], dtype=bool)
     if params.fb_check:
         flow_bwd = _fsgm_flow_oneway(img2, img1, params, backend)
-        flow = fb_check(flow, flow_bwd, params.fb_max_diff)
-    return flow
+        valid = fb_check(flow, flow_bwd, params.fb_max_diff)
+    return flow, valid

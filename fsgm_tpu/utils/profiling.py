@@ -49,9 +49,13 @@ class StageTimer:
     def stage(self, name: str, bytes_moved: int = 0):
         t0 = time.perf_counter()
         yield
-        dt = time.perf_counter() - t0
+        self.record(name, time.perf_counter() - t0, bytes_moved)
+
+    def record(self, name: str, seconds: float, bytes_moved: int = 0):
+        """Externally measured time (e.g. an in-jit K-iteration loop whose
+        wall clock was taken around the scalar fetch)."""
         rec = self.stages.setdefault(name, {"s": 0.0, "bytes": 0, "n": 0})
-        rec["s"] += dt
+        rec["s"] += seconds
         rec["bytes"] += bytes_moved
         rec["n"] += 1
 
@@ -77,7 +81,9 @@ def sgm_bytes_model(h: int, w: int, d: int, num_paths: int,
     updated for the family-fused kernels): per family sweep the cost volume
     is read once (u8) and S is read-modified-written (s_itemsize)."""
     vol = h * w * d
-    n_sweeps = 4 if num_paths <= 8 else 4  # families: down/up/left/right
+    # 4 family sweeps (down/up/left/right) regardless of 8 vs 16 paths:
+    # the knight-move dirs fuse into the same row passes (aggregate_pallas).
+    n_sweeps = 4
     per_sweep = vol * (1 + 2 * s_itemsize)
     extract = vol * s_itemsize * 2          # wta + right-wta streaming reads
     cost_build = vol * 1 + 2 * h * w * 4    # write C + census reads

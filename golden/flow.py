@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from fsgm_tpu.params import FlowParams, INVALID
+from fsgm_tpu.params import FlowParams
 from golden.sgm import (
     INF, census_transform, hamming, aggregate_one_path, median_filter_3x3,
 )
@@ -223,8 +223,9 @@ def fb_check(flow_fwd: np.ndarray, flow_bwd: np.ndarray, max_diff: float
              ) -> np.ndarray:
     """Forward-backward consistency: |F(p) + B(p + F(p))| <= max_diff.
 
-    Lookup rounds the forward-displaced position.  Failed pixels -> INVALID
-    in both components.
+    Lookup rounds the forward-displaced position.  Returns the (H, W) bool
+    validity plane; flow values are NOT overwritten (an in-range sentinel
+    like (-1, -1) would be indistinguishable from real leftward motion).
     """
     h, w = flow_fwd.shape[:2]
     yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
@@ -236,15 +237,16 @@ def fb_check(flow_fwd: np.ndarray, flow_bwd: np.ndarray, max_diff: float
     b = flow_bwd[tyc, txc]
     err = np.sqrt((flow_fwd[..., 0] + b[..., 0]) ** 2
                   + (flow_fwd[..., 1] + b[..., 1]) ** 2)
-    ok = inb & (err <= max_diff)
-    out = flow_fwd.copy()
-    out[~ok] = INVALID
-    return out
+    return inb & (err <= max_diff)
 
 
 def fsgm_flow(img1: np.ndarray, img2: np.ndarray, params: FlowParams,
               return_intermediates: bool = False):
-    """Full golden fSGM: coarse-to-fine 2D-label SGM (SURVEY.md §3.2)."""
+    """Full golden fSGM: coarse-to-fine 2D-label SGM (SURVEY.md §3.2).
+
+    Returns (flow (H, W, 2) float64, valid (H, W) bool).  Validity is an
+    explicit plane (mirroring the KITTI encoding's separate validity
+    channel), never an in-band flow value."""
     pyr1 = build_pyramid(img1, params.levels)
     pyr2 = build_pyramid(img2, params.levels)
     flow = np.zeros((*pyr1[-1].shape, 2), dtype=np.float64)
@@ -255,13 +257,14 @@ def fsgm_flow(img1: np.ndarray, img2: np.ndarray, params: FlowParams,
             flow = upsample_flow_2x(flow, i1.shape[0], i1.shape[1])
         flow = _flow_one_level(i1, i2, flow, params)
         per_level.append(flow)
+    valid = np.ones(flow.shape[:2], dtype=bool)
     if params.fb_check:
         # backward flow at full resolution only, zero prior at finest level
         # of its own pyramid for cost; reuse the same machinery with swapped
         # images.
         bwd_params = dataclasses.replace(params, fb_check=False)
-        flow_bwd = fsgm_flow(img2, img1, bwd_params)
-        flow = fb_check(flow, flow_bwd, params.fb_max_diff)
+        flow_bwd, _ = fsgm_flow(img2, img1, bwd_params)
+        valid = fb_check(flow, flow_bwd, params.fb_max_diff)
     if return_intermediates:
-        return flow, dict(per_level=per_level)
-    return flow
+        return flow, valid, dict(per_level=per_level)
+    return flow, valid

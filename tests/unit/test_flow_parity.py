@@ -55,20 +55,33 @@ def test_pyramid_exact(pair):
 def test_flow_full_close_to_golden(pair, backend):
     img1, img2, _ = pair
     p = FlowParams(search_radius=3, levels=3, p1=7, p2=60)
-    gold = gf.fsgm_flow(img1, img2, p)
-    ours = np.asarray(jflow.flow_fsgm(jnp.asarray(img1), jnp.asarray(img2),
-                                      p, backend))
-    # invalid masks must agree exactly; valid values within float tolerance
-    np.testing.assert_array_equal(ours[..., 0] < -0.5, gold[..., 0] < -0.5)
-    both = gold[..., 0] >= -0.5
-    np.testing.assert_allclose(ours[both], gold[both], atol=1e-3)
+    gold, gold_valid = gf.fsgm_flow(img1, img2, p)
+    ours, valid = jflow.flow_fsgm(jnp.asarray(img1), jnp.asarray(img2),
+                                  p, backend)
+    ours, valid = np.asarray(ours), np.asarray(valid)
+    # validity planes must agree exactly; valid values within float tol
+    np.testing.assert_array_equal(valid, gold_valid)
+    np.testing.assert_allclose(ours[gold_valid], gold[gold_valid],
+                               atol=1e-3)
 
 
 def test_flow_recovers_constant_translation():
     img1, img2, flow_gt = constant_flow_pair(64, 80, 3, -2, seed=9)
     p = FlowParams(search_radius=4, levels=3, p1=7, p2=60)
-    out = np.asarray(jflow.flow_fsgm(jnp.asarray(img1), jnp.asarray(img2), p))
-    valid = out[..., 0] >= -0.5
+    out, valid = jflow.flow_fsgm(jnp.asarray(img1), jnp.asarray(img2), p)
+    out, valid = np.asarray(out), np.asarray(valid)
+    assert valid.mean() > 0.5
+    err = np.abs(out - flow_gt)[valid]
+    assert np.mean(err <= 1.0) > 0.9, f"flow error too high: {err.mean()}"
+
+
+def test_flow_recovers_negative_u_translation():
+    # leftward motion (u < -0.5): regression for the sentinel-collision bug
+    # where u <= -0.5 estimates were classified invalid and zeroed
+    img1, img2, flow_gt = constant_flow_pair(64, 80, -3, 2, seed=11)
+    p = FlowParams(search_radius=4, levels=3, p1=7, p2=60)
+    out, valid = jflow.flow_fsgm(jnp.asarray(img1), jnp.asarray(img2), p)
+    out, valid = np.asarray(out), np.asarray(valid)
     assert valid.mean() > 0.5
     err = np.abs(out - flow_gt)[valid]
     assert np.mean(err <= 1.0) > 0.9, f"flow error too high: {err.mean()}"
@@ -77,7 +90,8 @@ def test_flow_recovers_constant_translation():
 def test_flow_blockwise_motion():
     img1, img2, flow_gt, mask = blockwise_flow_pair(64, 80, 3, seed=4)
     p = FlowParams(search_radius=4, levels=3, p1=7, p2=60)
-    out = np.asarray(jflow.flow_fsgm(jnp.asarray(img1), jnp.asarray(img2), p))
-    valid = (out[..., 0] >= -0.5) & mask
+    out, valid = jflow.flow_fsgm(jnp.asarray(img1), jnp.asarray(img2), p)
+    out, valid = np.asarray(out), np.asarray(valid)
+    valid = valid & mask
     epe = np.sqrt(((out - flow_gt) ** 2).sum(-1))[valid]
     assert np.mean(epe <= 1.0) > 0.8, f"EPE too high: {epe.mean()}"

@@ -36,12 +36,11 @@ def main() -> None:
 
     i1, i2, _ = constant_flow_pair(48, 64, 2, -1, seed=6)
     fp = FlowParams(search_radius=3, levels=2, p1=7, p2=60)
-    f_tpu = np.asarray(flow_fsgm(jnp.asarray(i1), jnp.asarray(i2), fp,
-                                 "pallas"))
-    f_gold = gf.fsgm_flow(i1, i2, fp)
-    assert ((f_tpu[..., 0] < -0.5) == (f_gold[..., 0] < -0.5)).all()
-    both = f_gold[..., 0] >= -0.5
-    assert np.allclose(f_tpu[both], f_gold[both], atol=1e-3)
+    f_tpu, v_tpu = flow_fsgm(jnp.asarray(i1), jnp.asarray(i2), fp, "pallas")
+    f_tpu, v_tpu = np.asarray(f_tpu), np.asarray(v_tpu)
+    f_gold, v_gold = gf.fsgm_flow(i1, i2, fp)
+    assert (v_tpu == v_gold).all()
+    assert np.allclose(f_tpu[v_gold], f_gold[v_gold], atol=1e-3)
     print("flow: exact")
     print("TPU-hardware parity smoke: ALL EXACT")
 
