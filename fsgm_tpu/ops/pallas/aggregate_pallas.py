@@ -59,12 +59,28 @@ def make_nmin_1d(p1: int, inf: int = INF32) -> Callable:
     """min(L[d-1], L[d+1]) + P1 over the 1D disparity axis (lanes).
 
     Dtype-generic: `+ p1` with a python int keeps the operand dtype, so the
-    same closure serves the int32 and int16 compute paths."""
-    def nmin(prev: jnp.ndarray) -> jnp.ndarray:
+    same closure serves the int32 and int16 compute paths.
+
+    The attached `.fused(prev) -> (nm, w3)` additionally returns the
+    window-3 running min w3[d] = min(prev[d-1..d+1]) for tree sharing: the
+    global-min rotate tree can seed from w3 and skip one level
+    (FSGM_TREE=w3; NOTES-PERF lead 2)."""
+    def _shifts(prev):
         f = jnp.full(prev.shape[:-1] + (1,), inf, prev.dtype)
         lo = jnp.concatenate([f, prev[..., :-1]], axis=-1)
         hi = jnp.concatenate([prev[..., 1:], f], axis=-1)
+        return lo, hi
+
+    def nmin(prev: jnp.ndarray) -> jnp.ndarray:
+        lo, hi = _shifts(prev)
         return jnp.minimum(lo, hi) + p1
+
+    def fused(prev: jnp.ndarray):
+        lo, hi = _shifts(prev)
+        nm_raw = jnp.minimum(lo, hi)
+        return nm_raw + p1, jnp.minimum(prev, nm_raw)
+
+    nmin.fused = fused
     return nmin
 
 
@@ -121,7 +137,7 @@ def _lane_min(v: jnp.ndarray, cdt) -> jnp.ndarray:
     instead: physical-lane wrap behavior is not trusted there.
     """
     n = v.shape[-1]
-    if cdt == jnp.int32 and n % 128 == 0:
+    if n % 128 == 0:
         s = 1
         while s < n:
             v = jnp.minimum(v, pltpu.roll(v, s, v.ndim - 1))
@@ -134,14 +150,38 @@ def _lane_min(v: jnp.ndarray, cdt) -> jnp.ndarray:
     return v
 
 
+def _lane_min_from_w3(w3: jnp.ndarray) -> jnp.ndarray:
+    """Global lane min seeded from the window-3 running min (shared with
+    the neighbor-min computation): coverage starts at 3 so the rotate tree
+    needs one fewer level than from scratch.  Requires 128-aligned width
+    (wrap-around mixing is harmless for a global min)."""
+    n = w3.shape[-1]
+    cover = 3
+    while cover < n:
+        w3 = jnp.minimum(w3, pltpu.roll(w3, cover, w3.ndim - 1))
+        cover *= 2
+    return w3
+
+
+def carry_units(dirs: Sequence[Tuple[int, int]]) -> int:
+    """Packed carry rows for a canonical direction family: 1 per direction,
+    2 for knight-move (|dy| == 2) directions."""
+    return sum(2 if abs(dy) == 2 else 1 for dy, _ in dirs)
+
+
 def _make_row_sweep_kernel(dirs: Sequence[Tuple[int, int]], w: int, nd: int,
                            nmin: Callable, s_dtype, cdt, inf: int,
-                           carry_dt):
+                           carry_dt, h: int, with_carry: bool):
     """dirs: canonical (ady, dx) with ady in {1, 2} (reversal is in the
     index maps, not here).  Carry scratch is packed per direction with
     depth 1, or 2 for knight-move dirs (ady == 2), and stored int16 when
     the penalty preset bounds L below 2^15 — both matter for staying under
-    the 16 MB VMEM limit at 4K widths."""
+    the 16 MB VMEM limit at 4K widths.
+
+    with_carry adds a carry_in input (seeds the scan state at grid step 0;
+    zeros = start-of-image semantics) and a carry_out output (the final
+    scan state, i.e. the last one/two L rows in the canonical frame) — the
+    halo message for cross-tile wavefront execution (SURVEY.md §3.5)."""
     offs, off = [], 0
     for ady, _ in dirs:
         offs.append(off)
@@ -152,18 +192,40 @@ def _make_row_sweep_kernel(dirs: Sequence[Tuple[int, int]], w: int, nd: int,
     # limit at 4K widths; every op is per-x except the static sublane
     # shift, which reads the carry at [s-dx, e-dx) — processing chunks
     # AGAINST the shift direction keeps those reads on not-yet-overwritten
-    # previous-row state.
-    X_CHUNK = 1536
+    # previous-row state.  FSGM_XCHUNK tunes the chunk (sublane) size: small
+    # chunks keep a whole recurrence step's live values register-resident
+    # (fewer VMEM round-trips between ops), large ones amortize loop
+    # overhead — 256 measured best on v5e (NOTES-PERF round 2).
+    X_CHUNK = int(os.environ.get("FSGM_XCHUNK", "256"))
     n_chunks = -(-w // X_CHUNK)
     bounds = [(c * X_CHUNK, min((c + 1) * X_CHUNK, w))
               for c in range(n_chunks)]
+    # window-3 tree sharing (NOTES-PERF lead 2): seed the global-min rotate
+    # tree from the neighbor-min's window-3 running min, saving one level
+    share_w3 = (os.environ.get("FSGM_TREE", "w3") == "w3"
+                and hasattr(nmin, "fused") and cdt == jnp.int32
+                and nd % 128 == 0)
 
-    def kernel(c_ref, p2e_ref, s_ref, s_out_ref, carry_ref):
+    def min_and_nmin(chunk):
+        if share_w3:
+            nm, w3 = nmin.fused(chunk)
+            return _lane_min_from_w3(w3), nm
+        return _lane_min(chunk, cdt), nmin(chunk)
+
+    def kernel(*refs):
+        if with_carry:
+            (c_ref, p2e_ref, s_ref, cin_ref,
+             s_out_ref, cout_ref, carry_ref) = refs
+        else:
+            c_ref, p2e_ref, s_ref, s_out_ref, carry_ref = refs
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
-            carry_ref[...] = jnp.zeros(carry_ref.shape, carry_ref.dtype)
+            if with_carry:
+                carry_ref[...] = cin_ref[...]
+            else:
+                carry_ref[...] = jnp.zeros(carry_ref.shape, carry_ref.dtype)
 
         for (s0, e0) in bounds:  # S accumulator: start from the aliased in
             s_out_ref[0, s0:e0] = s_ref[0, s0:e0]
@@ -179,8 +241,7 @@ def _make_row_sweep_kernel(dirs: Sequence[Tuple[int, int]], w: int, nd: int,
                 # (shift commutes with per-x lane ops); the shift itself
                 # uses an aligned 8-row border block + a value slice.
                 chunk = carry_ref[o + ady - 1, s0:e0].astype(cdt)
-                mch = _lane_min(chunk, cdt)
-                nmch = nmin(chunk)
+                mch, nmch = min_and_nmin(chunk)
                 if dx == 0:
                     prev, m, nm = chunk, mch, nmch
                 else:
@@ -202,9 +263,10 @@ def _make_row_sweep_kernel(dirs: Sequence[Tuple[int, int]], w: int, nd: int,
                         def sh(a, b, dx=dx, n=n_rows):
                             return jnp.concatenate(
                                 [a, b], axis=0)[-dx: -dx + n]
+                    mb, nmb = min_and_nmin(bord)
                     prev = sh(chunk, bord)
-                    m = sh(mch, _lane_min(bord, cdt))
-                    nm = sh(nmch, nmin(bord))
+                    m = sh(mch, mb)
+                    nm = sh(nmch, nmb)
                 p2e = p2e_ref[0, k, s0:e0][:, None].astype(cdt)
                 best = jnp.minimum(jnp.minimum(prev, nm), m + p2e)
                 # No x-edge mask: where the predecessor is outside the
@@ -217,35 +279,81 @@ def _make_row_sweep_kernel(dirs: Sequence[Tuple[int, int]], w: int, nd: int,
                 s_out_ref[0, s0:e0] = (s_out_ref[0, s0:e0].astype(cdt)
                                        + l).astype(s_dtype)
 
+        if with_carry:
+            @pl.when(i == h - 1)
+            def _():
+                cout_ref[...] = carry_ref[...]
+
     return kernel, n_units
 
 
 def _row_sweep(cost_u8, p2e, s, dirs, reverse: bool, nmin: Callable,
-               cdt=jnp.int32, inf: int = INF32, carry_dt=jnp.int32):
+               cdt=jnp.int32, inf: int = INF32, carry_dt=jnp.int32,
+               init_carry=None, return_carry: bool = False):
     """One vertical family pass.  cost_u8 (H,W,D) u8, p2e (H,n_dirs,W) i32
     (row-leading so the per-row block (1,n_dirs,W) satisfies Mosaic's
-    last-two-dims-match-array rule), s (H,W,D) accumulator (aliased)."""
+    last-two-dims-match-array rule), s (H,W,D) accumulator (aliased).
+
+    init_carry / return_carry expose the scan boundary state for tiled
+    wavefront execution: the carry is (carry_units(dirs), W, D) in the
+    CANONICAL frame (rows processed in index-map order), unit [o] = most
+    recent L row, [o+1] = previous (knight dirs only).  Zeros = neutral
+    start-of-image state; a real carry continues the scan across a tile
+    seam."""
     h, w, nd = cost_u8.shape
     n_dirs = len(dirs)
     row = (lambda i: h - 1 - i) if reverse else (lambda i: i)
+    with_carry = init_carry is not None or return_carry
     kernel, n_units = _make_row_sweep_kernel(dirs, w, nd, nmin, s.dtype,
-                                             cdt, inf, carry_dt)
-    return pl.pallas_call(
+                                             cdt, inf, carry_dt, h,
+                                             with_carry)
+    if not with_carry:
+        return pl.pallas_call(
+            kernel,
+            grid=(h,),
+            in_specs=[
+                pl.BlockSpec((1, w, nd), lambda i: (row(i), 0, 0)),
+                pl.BlockSpec((1, n_dirs, w), lambda i: (row(i), 0, 0)),
+                pl.BlockSpec((1, w, nd), lambda i: (row(i), 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, w, nd), lambda i: (row(i), 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((h, w, nd), s.dtype),
+            scratch_shapes=[pltpu.VMEM((n_units, w, nd), carry_dt)],
+            input_output_aliases={2: 0},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024),
+            interpret=_interpret(),
+        )(cost_u8, p2e, s)
+
+    if init_carry is None:
+        init_carry = jnp.zeros((n_units, w, nd), carry_dt)
+    else:
+        assert init_carry.shape == (n_units, w, nd), (
+            init_carry.shape, (n_units, w, nd))
+        init_carry = init_carry.astype(carry_dt)
+    whole = pl.BlockSpec((n_units, w, nd), lambda i: (0, 0, 0))
+    s_out, carry_out = pl.pallas_call(
         kernel,
         grid=(h,),
         in_specs=[
             pl.BlockSpec((1, w, nd), lambda i: (row(i), 0, 0)),
             pl.BlockSpec((1, n_dirs, w), lambda i: (row(i), 0, 0)),
             pl.BlockSpec((1, w, nd), lambda i: (row(i), 0, 0)),
+            whole,
         ],
-        out_specs=pl.BlockSpec((1, w, nd), lambda i: (row(i), 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((h, w, nd), s.dtype),
+        out_specs=[pl.BlockSpec((1, w, nd), lambda i: (row(i), 0, 0)),
+                   whole],
+        out_shape=[jax.ShapeDtypeStruct((h, w, nd), s.dtype),
+                   jax.ShapeDtypeStruct((n_units, w, nd), carry_dt)],
         scratch_shapes=[pltpu.VMEM((n_units, w, nd), carry_dt)],
         input_output_aliases={2: 0},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=_interpret(),
-    )(cost_u8, p2e, s)
+    )(cost_u8, p2e, s, init_carry)
+    if return_carry:
+        return s_out, carry_out
+    return s_out
 
 
 # --------------------------------------------------------------------------
@@ -256,7 +364,11 @@ COL_BLOCK = 8  # columns per column-sweep grid step (sublane-aligned DMA)
 
 
 def _make_col_sweep_kernel(reverse: bool, nmin: Callable, s_dtype, cdt,
-                           carry_dt, hb: int):
+                           carry_dt, hb: int, nd: int):
+    share_w3 = (os.environ.get("FSGM_TREE", "w3") == "w3"
+                and hasattr(nmin, "fused") and cdt == jnp.int32
+                and nd % 128 == 0)
+
     def kernel(c_ref, p2e_ref, s_ref, s_out_ref, carry_ref):
         j = pl.program_id(0)
         i = pl.program_id(1)
@@ -270,9 +382,13 @@ def _make_col_sweep_kernel(reverse: bool, nmin: Callable, s_dtype, cdt,
         for c in cols:
             cost = c_ref[:, c, :].astype(cdt)                # (HB, D)
             prev = carry_ref[0, rows].astype(cdt)
-            m = _lane_min(prev, cdt)
+            if share_w3:
+                nm, w3 = nmin.fused(prev)
+                m = _lane_min_from_w3(w3)
+            else:
+                m, nm = _lane_min(prev, cdt), nmin(prev)
             p2e = p2e_ref[0, 0, :, c][:, None].astype(cdt)   # (HB, 1)
-            best = jnp.minimum(jnp.minimum(prev, nmin(prev)), m + p2e)
+            best = jnp.minimum(jnp.minimum(prev, nm), m + p2e)
             l = cost + best - m
             carry_ref[0, rows] = l.astype(carry_dt)
             s_out_ref[:, c, :] = (s_ref[:, c, :].astype(cdt)
@@ -281,9 +397,11 @@ def _make_col_sweep_kernel(reverse: bool, nmin: Callable, s_dtype, cdt,
     return kernel
 
 
-def _row_chunk(h: int, limit: int = 512) -> int:
+def _row_chunk(h: int, limit: int | None = None) -> int:
     """Largest sublane-aligned (x8) divisor of h <= limit (full h if
     none — the dynamic carry slice must be provably 8-aligned)."""
+    if limit is None:
+        limit = int(os.environ.get("FSGM_COLHB", "512"))
     if h <= limit:
         return h
     for hb in range(limit - limit % 8, 0, -8):
@@ -310,7 +428,7 @@ def _col_sweep(cost_u8, p2e, s, reverse: bool, nmin: Callable,
     nh = h // hb
     blk = (lambda j: nb - 1 - j) if reverse else (lambda j: j)
     kernel = _make_col_sweep_kernel(reverse, nmin, s.dtype, cdt, carry_dt,
-                                    hb)
+                                    hb, nd)
     return pl.pallas_call(
         kernel,
         grid=(nb, nh),
@@ -340,20 +458,128 @@ def _col_sweep(cost_u8, p2e, s, reverse: bool, nmin: Callable,
 # --------------------------------------------------------------------------
 
 def _p2_effective(img: jnp.ndarray, dy: int, dx: int, p1: int, p2: int,
-                  adaptive: bool) -> jnp.ndarray:
+                  adaptive: bool,
+                  img_above2: jnp.ndarray | None = None,
+                  img_below2: jnp.ndarray | None = None) -> jnp.ndarray:
     """(H, W) int32 P2' for direction (dy, dx): max(P1+1, P2 // max(1,
     |I(p) - I(p - r)|)); value where the predecessor is outside the image is
-    irrelevant (the kernel's zero carry / x-mask bypasses it)."""
+    irrelevant (the kernel's zero carry / x-mask bypasses it) UNLESS a real
+    tile carry continues the scan there — then img_above2/img_below2 (the
+    (2, W) image rows just outside the tile) supply the true cross-seam
+    gradient, matching ops.aggregate._p2_effective."""
     if not adaptive:
         return jnp.full(img.shape, p2, dtype=jnp.int32)
     img = img.astype(jnp.int32)
-    pred = jnp.roll(jnp.roll(img, dy, axis=0), dx, axis=1)
+    h, w = img.shape
+    if img_above2 is None and img_below2 is None:
+        pred = jnp.roll(img, dy, axis=0)
+    else:
+        above = (jnp.zeros((2, w), jnp.int32) if img_above2 is None
+                 else img_above2.astype(jnp.int32))
+        below = (jnp.zeros((2, w), jnp.int32) if img_below2 is None
+                 else img_below2.astype(jnp.int32))
+        ext = jnp.concatenate([above, img, below], axis=0)
+        pred = jax.lax.dynamic_slice_in_dim(ext, 2 - dy, h, axis=0)
+    pred = jnp.roll(pred, dx, axis=1)
     diff = jnp.maximum(jnp.abs(img - pred), 1)
     return jnp.maximum(jnp.int32(p1 + 1), jnp.int32(p2) // diff)
 
 
-INF16 = 20000  # int16 compute-path sentinel: INF16 + P2 + Cmax < 2^15
-                # requires P2 <= 12000 (checked before picking int16)
+def plan_dtypes(p2: int, s_max: int | None):
+    """(s_dtype, carry_dt): int16 storage where the preset's bounds fit
+    (halved HBM/VMEM traffic), else int32.  In-kernel COMPUTE stays int32:
+    the current Mosaic toolchain cannot legalize 16-bit min/rotate/reduce
+    ("failed to legalize arith.minsi")."""
+    s_dtype = jnp.int16 if (s_max is not None and s_max < (1 << 15)) \
+        else jnp.int32
+    carry_dt = jnp.int16 if 255 + p2 < (1 << 15) else jnp.int32
+    return s_dtype, carry_dt
+
+
+def padded_width(w: int) -> int:
+    return -(-w // COL_BLOCK) * COL_BLOCK
+
+
+def pad_inputs(cost: jnp.ndarray, img: jnp.ndarray):
+    """Zero-pad the width to a COL_BLOCK multiple.  Zero-cost columns are a
+    NEUTRAL region for the recurrence (all-zero prev row -> best=0, m=0,
+    L=C=0), so carries crossing the pad/real boundary reproduce the golden
+    image-edge semantics exactly; callers discard the pad slice of S."""
+    h, w = img.shape
+    wp = padded_width(w)
+    cost = cost.astype(jnp.uint8)
+    if wp != w:
+        cost = jnp.pad(cost, ((0, 0), (0, wp - w), (0, 0)))
+        img = jnp.pad(img, ((0, 0), (0, wp - w)), mode="edge")
+    return cost, img
+
+
+def _compute_dtype():
+    """In-kernel compute dtype.  int32 by default; FSGM_CDT=int16 re-tests
+    16-bit vector arithmetic on the current Mosaic toolchain (halves op
+    width and VMEM traffic IF it legalizes — it did not as of round 1:
+    "failed to legalize arith.minsi").  INF must keep INF + P2 + Cmax
+    within the dtype."""
+    if os.environ.get("FSGM_CDT", "int32") == "int16":
+        return jnp.int16, 20000
+    return jnp.int32, INF32
+
+
+def _nmin_for(p1: int, label_ext: int | None, inf: int = INF32):
+    return make_nmin_1d(p1, inf) if label_ext is None \
+        else make_nmin_2d(p1, label_ext, inf)
+
+
+def row_family_sweep(cost: jnp.ndarray, img: jnp.ndarray,
+                     family: Sequence[Tuple[int, int]], p1: int, p2: int,
+                     adaptive_p2: bool, s: jnp.ndarray,
+                     label_ext: int | None = None,
+                     init_carry: jnp.ndarray | None = None,
+                     return_carry: bool = False,
+                     img_above2: jnp.ndarray | None = None,
+                     img_below2: jnp.ndarray | None = None):
+    """Fused sweep of one VERTICAL direction family (all dy>0, or all dy<0),
+    accumulating into s in place.  Inputs must be pre-padded (pad_inputs).
+
+    For tiled wavefront execution (SURVEY.md §3.5): `init_carry` seeds the
+    scan with the upstream tile's exported state and `return_carry` exports
+    this tile's; shape (carry_units(family), Wp, D), dtype from
+    plan_dtypes.  img_above2/img_below2 are the (2, Wp) image halo rows for
+    cross-seam adaptive P2 (down family uses above, up family below)."""
+    assert all(dy > 0 for dy, _ in family) or \
+        all(dy < 0 for dy, _ in family), family
+    reverse = family[0][0] < 0
+    cdt, inf = _compute_dtype()
+    nmin = _nmin_for(p1, label_ext, inf)
+    _, carry_dt = plan_dtypes(p2, None)
+    p2e = jnp.stack([_p2_effective(img, dy, dx, p1, p2, adaptive_p2,
+                                   img_above2, img_below2)
+                     for dy, dx in family], axis=1)        # (H, n, Wp)
+    canon = [(abs(dy), dx) for dy, dx in family]
+    return _row_sweep(cost, p2e, s, canon, reverse, nmin, cdt,
+                      inf, carry_dt, init_carry=init_carry,
+                      return_carry=return_carry)
+
+
+def col_dir_sweep(cost: jnp.ndarray, img: jnp.ndarray,
+                  direction: Tuple[int, int], p1: int, p2: int,
+                  adaptive_p2: bool, s: jnp.ndarray,
+                  label_ext: int | None = None):
+    """One HORIZONTAL direction ((0, 1) or (0, -1)) column sweep,
+    accumulating into s in place.  Inputs pre-padded (pad_inputs)."""
+    dy, dx = direction
+    assert dy == 0 and dx in (1, -1), direction
+    h, wp, _ = cost.shape
+    cdt, inf = _compute_dtype()
+    nmin = _nmin_for(p1, label_ext, inf)
+    _, carry_dt = plan_dtypes(p2, None)
+    hb = _row_chunk(h)
+    p2e_h = _p2_effective(img, dy, dx, p1, p2, adaptive_p2)
+    # (H, Wp) -> (nb, nh, HB, CB): entry (j, i, r, c) = p2e[i*HB+r, j*CB+c]
+    p2e_h = p2e_h.reshape(h // hb, hb, wp // COL_BLOCK, COL_BLOCK)
+    p2e_h = p2e_h.transpose(2, 0, 1, 3)
+    return _col_sweep(cost, p2e_h, s, reverse=(dx < 0), nmin=nmin,
+                      cdt=cdt, carry_dt=carry_dt)
 
 
 def aggregate_paths(cost: jnp.ndarray, img: jnp.ndarray,
@@ -363,33 +589,11 @@ def aggregate_paths(cost: jnp.ndarray, img: jnp.ndarray,
                     s_max: int | None = None) -> jnp.ndarray:
     """S = sum_r L_r via fused family sweeps.  Returns (H, W, D) int16 when
     the guaranteed max S fits (pass s_max = num_paths*(invalid_cost+P2)),
-    else int32.  Exact-integer match to the golden model.
-
-    The width is zero-padded to a COL_BLOCK multiple: zero-cost columns are
-    a NEUTRAL region for the recurrence (all-zero prev row -> best=0, m=0,
-    L=C=0), so carries crossing the pad/real boundary reproduce the golden
-    image-edge semantics exactly, and the pad slice of S is discarded."""
+    else int32.  Exact-integer match to the golden model."""
     h, w, nd = cost.shape
-    cost = cost.astype(jnp.uint8)
-    s_dtype = jnp.int16 if (s_max is not None and s_max < (1 << 15)) \
-        else jnp.int32
-    # int16 in-kernel arithmetic would halve VPU pressure, but the current
-    # Mosaic toolchain cannot legalize 16-bit min/rotate/reduce ops
-    # ("failed to legalize arith.minsi"), so compute stays int32; S storage
-    # is still int16 when the preset's bound fits (halved HBM traffic), and
-    # so is the carry scratch (L <= Cmax + P2 < 2^15) — VMEM headroom that
-    # 4K widths and 16-path carry sets need.
-    cdt, inf = jnp.int32, INF32
-    carry_dt = jnp.int16 if 255 + p2 < (1 << 15) else jnp.int32
-    if label_ext is None:
-        nmin = make_nmin_1d(p1, inf)
-    else:
-        nmin = make_nmin_2d(p1, label_ext, inf)
-
-    wp = -(-w // COL_BLOCK) * COL_BLOCK
-    if wp != w:
-        cost = jnp.pad(cost, ((0, 0), (0, wp - w), (0, 0)))
-        img = jnp.pad(img, ((0, 0), (0, wp - w)), mode="edge")
+    s_dtype, _ = plan_dtypes(p2, s_max)
+    cost, img = pad_inputs(cost, img)
+    wp = img.shape[1]
     s = jnp.zeros((h, wp, nd), dtype=s_dtype)
 
     down = [r for r in dirs if r[0] > 0]
@@ -397,23 +601,11 @@ def aggregate_paths(cost: jnp.ndarray, img: jnp.ndarray,
     horiz = [r for r in dirs if r[0] == 0]
 
     if down:
-        canon = [(dy, dx) for dy, dx in down]
-        p2e = jnp.stack([_p2_effective(img, dy, dx, p1, p2, adaptive_p2)
-                         for dy, dx in down], axis=1)       # (H, n, Wp)
-        s = _row_sweep(cost, p2e, s, canon, False, nmin, cdt, inf,
-                       carry_dt)
+        s = row_family_sweep(cost, img, down, p1, p2, adaptive_p2, s,
+                             label_ext)
     if up:
-        canon = [(-dy, dx) for dy, dx in up]
-        p2e = jnp.stack([_p2_effective(img, dy, dx, p1, p2, adaptive_p2)
-                         for dy, dx in up], axis=1)
-        s = _row_sweep(cost, p2e, s, canon, True, nmin, cdt, inf,
-                       carry_dt)
-    hb = _row_chunk(h)
-    for dy, dx in horiz:
-        p2e_h = _p2_effective(img, dy, dx, p1, p2, adaptive_p2)
-        # (H, Wp) -> (nb, nh, HB, CB): entry (j, i, r, c) = p2e[i*HB+r, j*CB+c]
-        p2e_h = p2e_h.reshape(h // hb, hb, wp // COL_BLOCK, COL_BLOCK)
-        p2e_h = p2e_h.transpose(2, 0, 1, 3)
-        s = _col_sweep(cost, p2e_h, s, reverse=(dx < 0), nmin=nmin,
-                       cdt=cdt, carry_dt=carry_dt)
+        s = row_family_sweep(cost, img, up, p1, p2, adaptive_p2, s,
+                             label_ext)
+    for r in horiz:
+        s = col_dir_sweep(cost, img, r, p1, p2, adaptive_p2, s, label_ext)
     return s[:, :w] if wp != w else s

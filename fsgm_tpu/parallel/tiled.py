@@ -36,9 +36,9 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from fsgm_tpu.params import SGMParams, DistParams
+from fsgm_tpu.params import SGMParams, DistParams, forgetting_margin
 from fsgm_tpu.ops.census import census_transform
-from fsgm_tpu.ops.cost import cost_volume_stereo
+from fsgm_tpu.ops.cost import cost_volume_stereo, cost_volume_stereo_right
 from fsgm_tpu.ops import aggregate as agg
 from fsgm_tpu.ops import extract as ext
 
@@ -83,77 +83,211 @@ def _split_dirs(dirs: Sequence[Tuple[int, int]]):
     return horiz, down, up
 
 
+# Test instrumentation: when set, called as f(tag: str, rows: int) from
+# INSIDE the active wavefront branch via jax.debug.callback — so invocations
+# count sweeps that actually executed at runtime, proving the lax.cond
+# schedule skips inactive tiles instead of masking redundant recompute.
+_WORK_CALLBACK = None
+
+
+def _count_work(tag: str, rows: int):
+    if _WORK_CALLBACK is not None:
+        jax.debug.callback(functools.partial(_WORK_CALLBACK, tag),
+                           jnp.int32(rows))
+
+
+class _XlaFamilyBackend:
+    """Family sweeps via the lax.scan aggregation (any platform).
+
+    Carry pytree: tuple of per-direction (2, W, D) int32 canonical carries
+    (ops.aggregate.aggregate_one_path contract)."""
+
+    def __init__(self, cost_t, img_t, above2, below2, p1, p2, adaptive,
+                 neighbor_min, s_dtype=jnp.int32):
+        self.cost, self.img = cost_t, img_t
+        self.above2, self.below2 = above2, below2
+        self.p1, self.p2, self.adaptive = p1, p2, adaptive
+        self.nmin = neighbor_min
+        self.s_dtype = s_dtype
+        self.w = cost_t.shape[1]
+
+    def zeros_s(self, rows=None):
+        ht = self.cost.shape[0] if rows is None else rows
+        return jnp.zeros((ht, self.w, self.cost.shape[2]), self.s_dtype)
+
+    def zero_carry(self, family):
+        nd = self.cost.shape[2]
+        return tuple(jnp.zeros((2, self.w, nd), jnp.int32) for _ in family)
+
+    def _prev2(self, family):
+        # canonical (flipped) frame halo order for up families
+        return self.above2 if family[0][0] > 0 else self.below2[::-1]
+
+    def horiz_sweep(self, s, r):
+        l = agg.aggregate_one_path(self.cost, self.img, r, self.p1, self.p2,
+                                   self.adaptive, self.nmin)
+        return s + l.astype(self.s_dtype)
+
+    def family_sweep(self, s, family, carry, rows=slice(None)):
+        """Aggregate `family` over cost[rows], += into s, return new carry."""
+        prev2 = self._prev2(family)
+        outs = []
+        for r, c in zip(family, carry):
+            l, cout = agg.aggregate_one_path(
+                self.cost[rows], self.img[rows], r, self.p1, self.p2,
+                self.adaptive, self.nmin, init_carry=c, img_prev2=prev2,
+                return_carry=True)
+            s = s + l.astype(self.s_dtype)
+            outs.append(cout)
+        return s, tuple(outs)
+
+    def finish(self, s):
+        return s
+
+
+class _PallasFamilyBackend:
+    """Family sweeps via the fused Pallas kernels (ops/pallas), carrying the
+    packed (carry_units, Wp, D) scan state across tile seams — the per-chip
+    hot path of the tiled wavefront (SURVEY.md §3.5: "Pallas kernel on own
+    tile, then ppermute halo")."""
+
+    def __init__(self, cost_t, img_t, above2, below2, p1, p2, adaptive,
+                 label_ext, s_max):
+        from fsgm_tpu.ops.pallas import aggregate_pallas as pagg
+        self.pagg = pagg
+        self.p1, self.p2, self.adaptive = p1, p2, adaptive
+        self.label_ext = label_ext
+        self.w = cost_t.shape[1]
+        self.cost, self.img = pagg.pad_inputs(cost_t, img_t)
+        self.wp = self.img.shape[1]
+        padx = ((0, 0), (0, self.wp - self.w))
+        self.above2 = jnp.pad(above2, padx, mode="edge")
+        self.below2 = jnp.pad(below2, padx, mode="edge")
+        self.s_dtype, self.carry_dt = pagg.plan_dtypes(p2, s_max)
+
+    def zeros_s(self, rows=None):
+        ht = self.cost.shape[0] if rows is None else rows
+        return jnp.zeros((ht, self.wp, self.cost.shape[2]), self.s_dtype)
+
+    def zero_carry(self, family):
+        units = self.pagg.carry_units(family)
+        return jnp.zeros((units, self.wp, self.cost.shape[2]),
+                         self.carry_dt)
+
+    def horiz_sweep(self, s, r):
+        return self.pagg.col_dir_sweep(self.cost, self.img, r, self.p1,
+                                       self.p2, self.adaptive, s,
+                                       self.label_ext)
+
+    def family_sweep(self, s, family, carry, rows=slice(None)):
+        down = family[0][0] > 0
+        return self.pagg.row_family_sweep(
+            self.cost[rows], self.img[rows], family, self.p1, self.p2,
+            self.adaptive, s, self.label_ext, init_carry=carry,
+            return_carry=True,
+            img_above2=self.above2 if down else None,
+            img_below2=None if down else self.below2)
+
+    def finish(self, s):
+        return s[:, : self.w] if self.wp != self.w else s
+
+
+def _make_backend(backend, cost_t, img_t, above2, below2, p1, p2, adaptive,
+                  neighbor_min, label_ext, s_max):
+    if backend == "pallas":
+        return _PallasFamilyBackend(cost_t, img_t, above2, below2, p1, p2,
+                                    adaptive, label_ext, s_max)
+    return _XlaFamilyBackend(cost_t, img_t, above2, below2, p1, p2,
+                             adaptive, neighbor_min)
+
+
 def _aggregate_tiled_exact(cost_t, img_t, above2, below2, dirs, p1, p2,
                            adaptive, axis: str, t: int,
-                           neighbor_min=agg.neighbor_min_1d):
+                           neighbor_min=agg.neighbor_min_1d,
+                           backend: str = "xla", label_ext=None,
+                           s_max=None):
     """Bit-true wavefront aggregation of a row tile.  above2/below2 are the
-    (2, W) image halos [y=-2, y=-1] and [y=Ht, y=Ht+1]."""
+    (2, W) image halos [y=-2, y=-1] and [y=Ht, y=Ht+1].
+
+    Scheduling (SURVEY.md §7.3 item 7): per wavefront step k, ONLY the
+    active tile sweeps — device k runs the full down family, device t-1-k
+    the full up family, selected by lax.cond on the device index so
+    inactive devices execute the trivial branch at runtime (no O(t)
+    redundant recompute; total vertical-family work per device is one
+    down + one up sweep of its own Ht rows).  The two families stream in
+    opposite tile orders so both wavefronts overlap."""
     my = jax.lax.axis_index(axis)
     horiz, down, up = _split_dirs(dirs)
-    _, w, nd = cost_t.shape
+    be = _make_backend(backend, cost_t, img_t, above2, below2, p1, p2,
+                       adaptive, neighbor_min, label_ext, s_max)
 
-    s = jnp.zeros(cost_t.shape, dtype=jnp.int32)
+    s = be.zeros_s()
     for r in horiz:  # row-local
-        s = s + agg.aggregate_one_path(cost_t, img_t, r, p1, p2, adaptive,
-                                       neighbor_min).astype(jnp.int32)
+        s = be.horiz_sweep(s, r)
 
-    img_prev_up = below2[::-1]  # canonical (flipped) frame halo order
-    for rd, ru in zip(down, up):
-        carry_d = jnp.zeros((2, w, nd), dtype=jnp.int32)
-        carry_u = jnp.zeros((2, w, nd), dtype=jnp.int32)
-        for k in range(t):
-            l_d, cout_d = agg.aggregate_one_path(
-                cost_t, img_t, rd, p1, p2, adaptive, neighbor_min,
-                init_carry=carry_d, img_prev2=above2, return_carry=True)
-            l_u, cout_u = agg.aggregate_one_path(
-                cost_t, img_t, ru, p1, p2, adaptive, neighbor_min,
-                init_carry=carry_u, img_prev2=img_prev_up, return_carry=True)
-            s = (s
-                 + jnp.where(my == k, l_d.astype(jnp.int32), 0)
-                 + jnp.where(my == t - 1 - k, l_u.astype(jnp.int32), 0))
-            if k < t - 1:
-                carry_d = _send_down(cout_d, axis, t)
-                carry_u = _send_up(cout_u, axis, t)
-    return s
+    carry_d = be.zero_carry(down)
+    carry_u = be.zero_carry(up)
+    ht = cost_t.shape[0]
+
+    def active(family):
+        def run(s, carry):
+            _count_work("down" if family[0][0] > 0 else "up", ht)
+            return be.family_sweep(s, family, carry)
+        return run
+
+    def idle(s, carry):
+        return s, carry
+
+    for k in range(t):
+        s, cout_d = jax.lax.cond(my == k, active(down), idle, s, carry_d)
+        s, cout_u = jax.lax.cond(my == t - 1 - k, active(up), idle, s,
+                                 carry_u)
+        if k < t - 1:
+            carry_d = _send_down(cout_d, axis, t)
+            carry_u = _send_up(cout_u, axis, t)
+    return be.finish(s)
 
 
 def _aggregate_tiled_fast(cost_t, img_t, above2, below2, dirs, p1, p2,
                           adaptive, axis: str, t: int, margin: int,
-                          neighbor_min=agg.neighbor_min_1d):
-    """Two-pass margin re-injection (approximate across tile seams)."""
-    my = jax.lax.axis_index(axis)
+                          neighbor_min=agg.neighbor_min_1d,
+                          backend: str = "xla", label_ext=None,
+                          s_max=None):
+    """Two-pass margin re-injection (approximate across tile seams unless
+    margin >= forgetting_margin AND tiles are at least that tall — see
+    params.forgetting_margin).  All devices stay active in both passes:
+    near-linear scaling, one ppermute per family.
+
+    Pass 1 sweeps the whole tile from the neutral carry into a per-family
+    buffer; pass 2 re-sweeps only the first `margin` canonical rows from
+    the received true carry and REPLACES those rows' contribution (a zero
+    received carry — the global boundary tile — reproduces pass 1 exactly,
+    so no masking is needed)."""
     horiz, down, up = _split_dirs(dirs)
-    ht, w, nd = cost_t.shape
+    ht = cost_t.shape[0]
     m = min(margin, ht)
-    img_prev_up = below2[::-1]
+    be = _make_backend(backend, cost_t, img_t, above2, below2, p1, p2,
+                       adaptive, neighbor_min, label_ext, s_max)
 
-    s = jnp.zeros(cost_t.shape, dtype=jnp.int32)
+    s = be.zeros_s()
     for r in horiz:
-        s = s + agg.aggregate_one_path(cost_t, img_t, r, p1, p2, adaptive,
-                                       neighbor_min).astype(jnp.int32)
+        s = be.horiz_sweep(s, r)
 
-    for r in down + up:
-        is_down = r[0] > 0
-        prev2 = above2 if is_down else img_prev_up
-        l0, cout = agg.aggregate_one_path(
-            cost_t, img_t, r, p1, p2, adaptive, neighbor_min,
-            img_prev2=prev2, return_carry=True)
+    for family in (down, up):
+        is_down = family[0][0] > 0
+        s1, cout = be.family_sweep(be.zeros_s(), family,
+                                   be.zero_carry(family))
         send = _send_down if is_down else _send_up
         carry = send(cout, axis, t)
+        rows = slice(0, m) if is_down else slice(ht - m, ht)
+        s_fix, _ = be.family_sweep(be.zeros_s(rows=m), family, carry,
+                                   rows=rows)
         if is_down:
-            l_fix = agg.aggregate_one_path(
-                cost_t[:m], img_t[:m], r, p1, p2, adaptive, neighbor_min,
-                init_carry=carry, img_prev2=prev2)
-            boundary = my > 0
-            fixed = jnp.concatenate([l_fix, l0[m:]], axis=0)
+            s_fam = jnp.concatenate([s_fix, s1[m:]], axis=0)
         else:
-            l_fix = agg.aggregate_one_path(
-                cost_t[ht - m:], img_t[ht - m:], r, p1, p2, adaptive,
-                neighbor_min, init_carry=carry, img_prev2=prev2)
-            boundary = my < t - 1
-            fixed = jnp.concatenate([l0[: ht - m], l_fix], axis=0)
-        s = s + jnp.where(boundary, fixed, l0).astype(jnp.int32)
-    return s
+            s_fam = jnp.concatenate([s1[: ht - m], s_fix], axis=0)
+        s = s + s_fam
+    return be.finish(s)
 
 
 # --------------------------------------------------------------------------
@@ -161,7 +295,7 @@ def _aggregate_tiled_fast(cost_t, img_t, above2, below2, dirs, p1, p2,
 # --------------------------------------------------------------------------
 
 def _stereo_tile(img_l_t, img_r_t, params: SGMParams, dist: DistParams,
-                 axis: str, t: int):
+                 axis: str, t: int, backend: str = "xla"):
     """Row-tile stereo pipeline body: (Ht, W) pair -> (Ht, W) disparity."""
     ch, _ = params.census_window
     halo = max(ch // 2, 2)
@@ -173,26 +307,46 @@ def _stereo_tile(img_l_t, img_r_t, params: SGMParams, dist: DistParams,
     cost = cost_volume_stereo(cen_l, cen_r, params.max_disp,
                               params.invalid_cost)
 
-    above2 = il_ext[halo - 2: halo]
-    below2 = il_ext[halo + img_l_t.shape[0]: halo + img_l_t.shape[0] + 2]
-    if dist.tile_mode == "exact" and t > 1:
-        s = _aggregate_tiled_exact(cost, img_l_t, above2, below2,
-                                   params.dirs, params.p1, params.p2,
-                                   params.adaptive_p2, axis, t)
-    elif t > 1:
-        s = _aggregate_tiled_fast(cost, img_l_t, above2, below2,
-                                  params.dirs, params.p1, params.p2,
-                                  params.adaptive_p2, axis, t, dist.margin)
-    else:
-        s = agg.aggregate_paths(cost, img_l_t, params.dirs, params.p1,
-                                params.p2, params.adaptive_p2)
+    def aggregate(cost_v, guide_t, guide_ext):
+        above2 = guide_ext[halo - 2: halo]
+        ht = guide_t.shape[0]
+        below2 = guide_ext[halo + ht: halo + ht + 2]
+        if dist.tile_mode == "exact" and t > 1:
+            return _aggregate_tiled_exact(
+                cost_v, guide_t, above2, below2, params.dirs, params.p1,
+                params.p2, params.adaptive_p2, axis, t, backend=backend,
+                s_max=params.s_invalid)
+        if t > 1:
+            margin = dist.margin or forgetting_margin(
+                params.p1, params.p2, cmax=params.invalid_cost)
+            return _aggregate_tiled_fast(
+                cost_v, guide_t, above2, below2, params.dirs, params.p1,
+                params.p2, params.adaptive_p2, axis, t, margin,
+                backend=backend, s_max=params.s_invalid)
+        if backend == "pallas":
+            from fsgm_tpu.ops.pallas import aggregate_pallas as pagg
+            return pagg.aggregate_paths(cost_v, guide_t, params.dirs,
+                                        params.p1, params.p2,
+                                        params.adaptive_p2,
+                                        s_max=params.s_invalid)
+        return agg.aggregate_paths(cost_v, guide_t, params.dirs, params.p1,
+                                   params.p2, params.adaptive_p2)
+
+    s = aggregate(cost, img_l_t, il_ext)
 
     d_int = ext.wta(s)
     disp = d_int.astype(jnp.float32)
     if params.subpixel:
         disp = ext.subpixel_refine(s, d_int)
     if params.lr_check:  # row-local (the S diagonal runs along x)
-        d_right = ext.wta_right_from_s(s, params.s_invalid)
+        if params.lr_mode == "reagg":
+            # true right-reference re-aggregation: a second wavefront over
+            # the right volume, guided by the right image (SURVEY.md M3)
+            cost_r = cost_volume_stereo_right(cen_l, cen_r, params.max_disp,
+                                              params.invalid_cost)
+            d_right = ext.wta(aggregate(cost_r, img_r_t, ir_ext))
+        else:
+            d_right = ext.wta_right_from_s(s, params.s_invalid)
         disp = ext.lr_check(disp, d_right, params.lr_max_diff,
                             params.max_disp)
     if params.median_filter:  # needs one true neighbor row on each side
@@ -201,19 +355,28 @@ def _stereo_tile(img_l_t, img_r_t, params: SGMParams, dist: DistParams,
     return disp
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _resolve_backend(backend: str) -> str:
+    if backend != "auto":
+        return backend
+    return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def stereo_sgm_sharded(img_l, img_r, params: SGMParams, dist: DistParams,
-                       mesh: jax.sharding.Mesh):
+                       mesh: jax.sharding.Mesh, backend: str = "auto"):
     """Batched sharded stereo: (F, H, W) uint8 pairs -> (F, H, W) float32.
 
     F is sharded over mesh axis "frame" (DP), rows over "ty" (spatial).
-    H must divide evenly by the "ty" axis size.
+    H must divide evenly by the "ty" axis size.  backend 'pallas' runs the
+    fused family-sweep kernels per tile (the production TPU path); 'xla'
+    the lax.scan fallback; 'auto' picks by platform.
     """
     t = mesh.shape["ty"]
+    backend = _resolve_backend(backend)
 
     def body(il, ir):  # local shards: (F_loc, Ht, W)
         run = functools.partial(_stereo_tile, params=params, dist=dist,
-                                axis="ty", t=t)
+                                axis="ty", t=t, backend=backend)
         return jax.vmap(run)(il, ir)
 
     spec = P("frame", "ty", None)

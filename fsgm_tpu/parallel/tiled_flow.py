@@ -42,7 +42,7 @@ def _all_gather_rows(x_t, axis: str):
 
 def _flow_level_tile(i1_t, i2_full, prior_flow_t, params: FlowParams,
                      dist: DistParams, axis: str, t: int,
-                     is_coarsest: bool = False):
+                     is_coarsest: bool = False, backend: str = "xla"):
     """One pyramid level on a row tile; i2_full is the full second image."""
     ht = i1_t.shape[0]
     my = jax.lax.axis_index(axis)
@@ -68,14 +68,28 @@ def _flow_level_tile(i1_t, i2_full, prior_flow_t, params: FlowParams,
     above2 = i1_ext[halo - 2: halo]
     below2 = i1_ext[halo + ht: halo + ht + 2]
     nm = agg.make_neighbor_min_2d(params.search_radius)
+    ext_w = params.window_extent
+    s_max = 8 * (params.invalid_cost + params.p2)
     if t > 1 and dist.tile_mode == "exact":
         s = _aggregate_tiled_exact(cost, i1_t, above2, below2, DIRS_8,
                                    params.p1, params.p2, params.adaptive_p2,
-                                   axis, t, neighbor_min=nm)
+                                   axis, t, neighbor_min=nm,
+                                   backend=backend, label_ext=ext_w,
+                                   s_max=s_max)
     elif t > 1:
+        from fsgm_tpu.params import forgetting_margin
+        margin = dist.margin or forgetting_margin(
+            params.p1, params.p2, cmax=params.invalid_cost)
         s = _aggregate_tiled_fast(cost, i1_t, above2, below2, DIRS_8,
                                   params.p1, params.p2, params.adaptive_p2,
-                                  axis, t, dist.margin, neighbor_min=nm)
+                                  axis, t, margin, neighbor_min=nm,
+                                  backend=backend, label_ext=ext_w,
+                                  s_max=s_max)
+    elif backend == "pallas":
+        from fsgm_tpu.ops.pallas import aggregate_pallas as pagg
+        s = pagg.aggregate_paths(cost, i1_t, DIRS_8, params.p1, params.p2,
+                                 params.adaptive_p2, label_ext=ext_w,
+                                 s_max=s_max)
     else:
         s = agg.aggregate_paths(cost, i1_t, DIRS_8, params.p1, params.p2,
                                 params.adaptive_p2, neighbor_min=nm)
@@ -96,7 +110,7 @@ def _flow_level_tile(i1_t, i2_full, prior_flow_t, params: FlowParams,
 
 
 def _flow_oneway_tile(img1_t, img2_t, params: FlowParams, dist: DistParams,
-                      axis: str, t: int):
+                      axis: str, t: int, backend: str = "xla"):
     pyr1 = mflow.build_pyramid(img1_t, params.levels)   # row tiles
     img2_full = _all_gather_rows(img2_t, axis)
     pyr2 = mflow.build_pyramid(img2_full, params.levels)  # full images
@@ -106,28 +120,31 @@ def _flow_oneway_tile(img1_t, img2_t, params: FlowParams, dist: DistParams,
         if lvl < params.levels - 1:
             flow = mflow.upsample_flow_2x(flow, i1.shape[0], i1.shape[1])
         flow = _flow_level_tile(i1, pyr2[lvl], flow, params, dist, axis, t,
-                                is_coarsest=(lvl == params.levels - 1))
+                                is_coarsest=(lvl == params.levels - 1),
+                                backend=backend)
     return flow
 
 
 def _flow_tile(img1_t, img2_t, params: FlowParams, dist: DistParams,
-               axis: str, t: int):
-    flow = _flow_oneway_tile(img1_t, img2_t, params, dist, axis, t)
+               axis: str, t: int, backend: str = "xla"):
+    flow = _flow_oneway_tile(img1_t, img2_t, params, dist, axis, t, backend)
+    valid = jnp.ones(flow.shape[:2], dtype=bool)
     if params.fb_check:
-        bwd_t = _flow_oneway_tile(img2_t, img1_t, params, dist, axis, t)
+        bwd_t = _flow_oneway_tile(img2_t, img1_t, params, dist, axis, t,
+                                  backend)
         bwd_full = _all_gather_rows(bwd_t, axis)
         ht = flow.shape[0]
         my = jax.lax.axis_index(axis)
         # fb_check gathers at displaced rows: build a row-offset view by
         # padding the local forward flow into global coordinates
-        flow = _fb_check_tiled(flow, bwd_full, my * ht,
-                               params.fb_max_diff)
-    return flow
+        valid = _fb_check_tiled(flow, bwd_full, my * ht,
+                                params.fb_max_diff)
+    return flow, valid
 
 
 def _fb_check_tiled(flow_fwd_t, flow_bwd_full, y0, max_diff):
     """Tiled forward-backward check: forward rows are local, backward
-    lookups hit global rows."""
+    lookups hit global rows.  Returns the (Ht, W) bool validity plane."""
     ht, w = flow_fwd_t.shape[:2]
     hg = flow_bwd_full.shape[0]
     yy = jnp.arange(ht, dtype=jnp.int32)[:, None] + y0
@@ -140,26 +157,28 @@ def _fb_check_tiled(flow_fwd_t, flow_bwd_full, y0, max_diff):
     b = flow_bwd_full[tyc, txc]
     err = jnp.sqrt((flow_fwd_t[..., 0] + b[..., 0]) ** 2
                    + (flow_fwd_t[..., 1] + b[..., 1]) ** 2)
-    ok = inb & (err <= max_diff)
-    from fsgm_tpu.params import INVALID
-    return jnp.where(ok[..., None], flow_fwd_t, jnp.float32(INVALID))
+    return inb & (err <= max_diff)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def flow_fsgm_sharded(img1, img2, params: FlowParams, dist: DistParams,
-                      mesh: jax.sharding.Mesh):
-    """Batched sharded flow: (F, H, W) uint8 pairs -> (F, H, W, 2) f32.
+                      mesh: jax.sharding.Mesh, backend: str = "auto"):
+    """Batched sharded flow: (F, H, W) uint8 pairs ->
+    (flow (F, H, W, 2) f32, valid (F, H, W) bool).
 
     F over "frame", rows over "ty"; H must divide by ty * 2^(levels-1)."""
+    from fsgm_tpu.parallel.tiled import _resolve_backend
     t = mesh.shape["ty"]
+    backend = _resolve_backend(backend)
 
     def body(i1, i2):
         run = functools.partial(_flow_tile, params=params, dist=dist,
-                                axis="ty", t=t)
+                                axis="ty", t=t, backend=backend)
         return jax.vmap(run)(i1, i2)
 
     in_spec = P("frame", "ty", None)
-    out_spec = P("frame", "ty", None, None)
     fn = jax.shard_map(body, mesh=mesh, in_specs=(in_spec, in_spec),
-                       out_specs=out_spec, check_vma=False)
+                       out_specs=(P("frame", "ty", None, None),
+                                  P("frame", "ty", None)),
+                       check_vma=False)
     return fn(img1, img2)

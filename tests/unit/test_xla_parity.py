@@ -54,6 +54,34 @@ def test_cost_volume_exact(pair, window):
     np.testing.assert_array_equal(np.asarray(ours).astype(np.int64), gold)
 
 
+def test_cost_volume_right_exact(pair):
+    img_l, img_r, _ = pair
+    d = 16
+    gold = g.cost_volume_stereo_right(g.census_transform(img_l),
+                                      g.census_transform(img_r), d)
+    ours = jcost.cost_volume_stereo_right(
+        jcensus.census_transform(jnp.asarray(img_l)),
+        jcensus.census_transform(jnp.asarray(img_r)), d)
+    np.testing.assert_array_equal(np.asarray(ours).astype(np.int64), gold)
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_lr_reagg_pipeline_close(pair, backend):
+    """lr_mode='reagg' (true right re-aggregation, SURVEY.md M3): validity
+    mask exact vs golden, valid values within float tolerance, and the
+    result must differ from the S-trick somewhere (it is a different LR
+    definition) while keeping high density on the stereogram."""
+    img_l, img_r, _ = pair
+    p = SGMParams(max_disp=16, p1=7, p2=60, lr_mode="reagg")
+    gold = g.sgm_stereo(img_l, img_r, p)
+    ours = np.asarray(stereo_sgm(jnp.asarray(img_l), jnp.asarray(img_r), p,
+                                 backend))
+    np.testing.assert_array_equal(ours < 0, gold < 0)
+    both = gold >= 0
+    np.testing.assert_allclose(ours[both], gold[both], atol=1e-3)
+    assert (gold >= 0).mean() > 0.5, "reagg LR killed too many pixels"
+
+
 @pytest.mark.parametrize("direction", DIRS_16)
 @pytest.mark.parametrize("adaptive", [False, True])
 def test_one_path_exact(pair, direction, adaptive):
