@@ -17,40 +17,61 @@ import jax.numpy as jnp
 
 from fsgm_tpu.params import SGMParams
 from fsgm_tpu.ops.census import census_transform
-from fsgm_tpu.ops.cost import cost_volume_stereo
+from fsgm_tpu.ops.cost import cost_volume_stereo, cost_volume_stereo_right
 from fsgm_tpu.ops import aggregate as agg
 from fsgm_tpu.ops import extract as ext
 
 
+def _aggregate(cost: jnp.ndarray, img: jnp.ndarray, params: SGMParams,
+               backend: str) -> jnp.ndarray:
+    if backend == "pallas":
+        from fsgm_tpu.ops.pallas import aggregate_pallas
+        return aggregate_pallas.aggregate_paths(
+            cost, img, params.dirs, params.p1, params.p2,
+            params.adaptive_p2, s_max=params.s_invalid)
+    return agg.aggregate_paths(cost, img, params.dirs, params.p1,
+                               params.p2, params.adaptive_p2)
+
+
 def compute_s_volume(img_l: jnp.ndarray, img_r: jnp.ndarray,
                      params: SGMParams, backend: str = "xla") -> jnp.ndarray:
-    """census -> cost -> aggregated S volume, int32 (H, W, D)."""
+    """census -> cost -> aggregated S volume (H, W, D)."""
     cen_l = census_transform(img_l, params.census_window)
     cen_r = census_transform(img_r, params.census_window)
     if backend == "pallas":
-        from fsgm_tpu.ops.pallas import aggregate_pallas, cost_pallas
         import os
         if os.environ.get("FSGM_PALLAS_COST", "0") == "1":
             # the shear kernel measures ~equal in isolation but costs
             # ~3 ms/frame end-to-end (breaks an XLA fusion/layout chain);
             # opt-in for study, XLA builder by default
+            from fsgm_tpu.ops.pallas import cost_pallas
             cost = cost_pallas.cost_volume_stereo(
                 cen_l, cen_r, params.max_disp, params.invalid_cost)
-        else:
-            cost = cost_volume_stereo(cen_l, cen_r, params.max_disp,
-                                      params.invalid_cost)
-        return aggregate_pallas.aggregate_paths(
-            cost, img_l, params.dirs, params.p1, params.p2,
-            params.adaptive_p2, s_max=params.s_invalid)
+            return _aggregate(cost, img_l, params, backend)
     cost = cost_volume_stereo(cen_l, cen_r, params.max_disp,
                               params.invalid_cost)
-    return agg.aggregate_paths(cost, img_l, params.dirs, params.p1,
-                               params.p2, params.adaptive_p2)
+    return _aggregate(cost, img_l, params, backend)
+
+
+def right_disparity_reagg(cen_l: jnp.ndarray, cen_r: jnp.ndarray,
+                          img_r: jnp.ndarray, params: SGMParams,
+                          backend: str) -> jnp.ndarray:
+    """True LR re-aggregation (SURVEY.md §7.1 M3): full SGM over the
+    right-reference cost volume guided by the right image, then WTA.
+    Exact LR symmetry at 2x aggregation cost (vs the S-volume trick)."""
+    cost_r = cost_volume_stereo_right(cen_l, cen_r, params.max_disp,
+                                      params.invalid_cost)
+    s_r = _aggregate(cost_r, img_r, params, backend)
+    return ext.wta(s_r)
 
 
 def extract_disparity(s: jnp.ndarray, params: SGMParams,
-                      backend: str = "xla") -> jnp.ndarray:
-    """S volume -> final disparity field (float32, INVALID=-1)."""
+                      backend: str = "xla",
+                      d_right: jnp.ndarray | None = None) -> jnp.ndarray:
+    """S volume -> final disparity field (float32, INVALID=-1).
+
+    d_right: precomputed right-view integer disparity (lr_mode='reagg');
+    None -> the S-volume trick d_R(y,x) = argmin_d S(y, x+d, d)."""
     # XLA handles WTA + the one-hot subpixel selects well (~0.9 ms/frame
     # at KITTI size once gathers are avoided); the experimental fused
     # Pallas kernel (ops/pallas/extract_pallas.py) measured 4x slower
@@ -61,7 +82,8 @@ def extract_disparity(s: jnp.ndarray, params: SGMParams,
     if params.subpixel:
         disp = ext.subpixel_refine(s, d_int)
     if params.lr_check:
-        d_right = ext.wta_right_from_s(s, params.s_invalid)
+        if d_right is None:
+            d_right = ext.wta_right_from_s(s, params.s_invalid)
         disp = ext.lr_check(disp, d_right, params.lr_max_diff,
                             params.max_disp)
     if params.median_filter:
@@ -76,4 +98,10 @@ def stereo_sgm(img_l: jnp.ndarray, img_r: jnp.ndarray, params: SGMParams,
                backend: str = "xla") -> jnp.ndarray:
     """Full stereo pipeline: (H, W) uint8 pair -> (H, W) float32 disparity."""
     s = compute_s_volume(img_l, img_r, params, backend)
-    return extract_disparity(s, params, backend)
+    d_right = None
+    if params.lr_check and params.lr_mode == "reagg":
+        cen_l = census_transform(img_l, params.census_window)
+        cen_r = census_transform(img_r, params.census_window)
+        d_right = right_disparity_reagg(cen_l, cen_r, img_r, params,
+                                        backend)
+    return extract_disparity(s, params, backend, d_right=d_right)

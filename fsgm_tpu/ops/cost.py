@@ -40,6 +40,26 @@ def cost_volume_stereo(cen_l: jnp.ndarray, cen_r: jnp.ndarray,
     return c.astype(jnp.uint8)
 
 
+def cost_volume_stereo_right(cen_l: jnp.ndarray, cen_r: jnp.ndarray,
+                             max_disp: int, invalid_cost: int = 255
+                             ) -> jnp.ndarray:
+    """(H, W, D) uint8 RIGHT-reference cost volume:
+    C_R[y,x,d] = hamming(cenR[y,x], cenL[y,x+d]); x+d >= W -> invalid_cost.
+
+    Used by lr_mode='reagg' (SURVEY.md §2.1 LR-consistency: "re-aggregate
+    or S-volume trick" — this is the re-aggregate input)."""
+    h, w, n_words = cen_l.shape
+    xs = jnp.arange(w, dtype=jnp.int32)[:, None]           # (W, 1)
+    ds = jnp.arange(max_disp, dtype=jnp.int32)[None, :]    # (1, D)
+    src = xs + ds                                          # (W, D)
+    valid = src < w
+    src_c = jnp.clip(src, 0, w - 1)
+    cen_l_g = cen_l[:, src_c, :]
+    ham = hamming(cen_r[:, :, None, :], cen_l_g)           # (H, W, D) int32
+    c = jnp.where(valid[None, :, :], ham, invalid_cost)
+    return c.astype(jnp.uint8)
+
+
 def cost_volume_flow(cen1: jnp.ndarray, cen2: jnp.ndarray,
                      base_u: jnp.ndarray, base_v: jnp.ndarray,
                      radius: int, invalid_cost: int = 255,

@@ -86,6 +86,20 @@ def cost_volume_stereo(cen_l: np.ndarray, cen_r: np.ndarray,
     return c
 
 
+def cost_volume_stereo_right(cen_l: np.ndarray, cen_r: np.ndarray,
+                             max_disp: int, invalid_cost: int = 255
+                             ) -> np.ndarray:
+    """Right-reference volume: C_R[y,x,d] = hamming(cenR[y,x], cenL[y,x+d]);
+    x+d >= W -> invalid_cost.  Input to lr_mode='reagg'."""
+    h, w = cen_l.shape
+    c = np.full((h, w, max_disp), int(invalid_cost), dtype=np.int64)
+    for d in range(max_disp):
+        if d >= w:
+            break
+        c[:, : w - d, d] = hamming(cen_r[:, : w - d], cen_l[:, d:])
+    return c
+
+
 # --------------------------------------------------------------------------
 # Path aggregation
 # --------------------------------------------------------------------------
@@ -329,7 +343,16 @@ def sgm_stereo(img_l: np.ndarray, img_r: np.ndarray, params: SGMParams,
     if params.subpixel:
         disp = subpixel_refine(s, d_int)
     if params.lr_check:
-        d_right = wta_right_from_S(s, params.s_invalid)
+        if params.lr_mode == "reagg":
+            # true right-reference re-aggregation (SURVEY.md §2.1 / §7.1
+            # M3): full SGM over the right volume, guided by the right
+            # image — exact LR symmetry at 2x aggregation cost
+            cost_r = cost_volume_stereo_right(cen_l, cen_r, params.max_disp,
+                                              params.invalid_cost)
+            s_r = aggregate_paths(cost_r, img_r, params)
+            d_right = wta(s_r)
+        else:
+            d_right = wta_right_from_S(s, params.s_invalid)
         disp = lr_check(disp, d_right, params.lr_max_diff)
     if params.median_filter:
         disp = median_filter_3x3(disp)
