@@ -105,11 +105,11 @@ def cmd_flow(args) -> int:
     p = _params_from_args(args, FlowParams)
     img1, img2 = load_gray(args.first), load_gray(args.second)
     t0 = time.perf_counter()
-    flow = np.asarray(flow_fsgm(jnp.asarray(img1), jnp.asarray(img2), p,
-                                _backend(args.backend)))
+    flow, valid = flow_fsgm(jnp.asarray(img1), jnp.asarray(img2), p,
+                            _backend(args.backend))
+    flow, valid = np.asarray(flow), np.asarray(valid)
     dt = time.perf_counter() - t0
     out = Path(args.output)
-    valid = flow[..., 0] > -0.5
     if out.suffix == ".flo":
         kitti.write_flo(out, np.where(valid[..., None], flow, 0))
     else:
@@ -129,9 +129,9 @@ def cmd_eval(args) -> int:
         gt = kitti.read_disparity_png(args.gt)
         m = d1_all(pred, gt, gt > 0)
     else:
-        pred, _ = kitti.read_flow_png(args.pred)
+        pred, pred_valid = kitti.read_flow_png(args.pred)
         gt, valid = kitti.read_flow_png(args.gt)
-        m = fl_all(pred, gt, valid)
+        m = fl_all(pred, gt, valid, pred_valid=pred_valid)
     print(json.dumps(m))
     return 0
 
@@ -153,9 +153,11 @@ def cmd_demo(args) -> int:
                       **d1_all(disp, gt.astype(np.float64), gt > 0)}))
 
     i1, i2, fgt = constant_flow_pair(96, 128, 3, -2, seed=2)
-    flow = np.asarray(flow_fsgm(jnp.asarray(i1), jnp.asarray(i2),
-                                FlowParams(search_radius=4, levels=3), be))
-    print(json.dumps({"demo": "flow", **fl_all(flow, fgt)}))
+    flow, fvalid = flow_fsgm(jnp.asarray(i1), jnp.asarray(i2),
+                             FlowParams(search_radius=4, levels=3), be)
+    print(json.dumps({"demo": "flow",
+                      **fl_all(np.asarray(flow), fgt,
+                               pred_valid=np.asarray(fvalid))}))
     return 0
 
 
@@ -180,8 +182,14 @@ def cmd_batch(args) -> int:
     lines = Path(args.list).read_text().splitlines()
     for line in lines:
         if line.strip():
-            left, right, out = line.split()
-            pairs.append((left, right, out))
+            # tab-separated when a tab is present (paths may contain
+            # spaces); whitespace-separated otherwise
+            fields = line.split("\t") if "\t" in line else line.split()
+            if len(fields) != 3:
+                raise SystemExit(
+                    f"batch list line needs 3 fields (left right out, "
+                    f"tab-separated if paths contain spaces): {line!r}")
+            pairs.append(tuple(f.strip() for f in fields))
     manifest = RunManifest(args.manifest)
     todo = manifest.pending([out for _, _, out in pairs])
     be = _backend(args.backend)
@@ -203,6 +211,79 @@ def cmd_batch(args) -> int:
     print(json.dumps({"cmd": "batch", "total": len(pairs),
                       "newly_done": done_now,
                       "skipped": len(pairs) - len(todo)}))
+    return 0
+
+
+def cmd_kitti(args) -> int:
+    """Run the full KITTI 2012/2015 benchmark from a devkit directory tree
+    (SURVEY.md §1 L0 dataset adapters): per-frame JSONL records + the
+    aggregate D1-all / Fl-all summary, with optional prediction output."""
+    import jax.numpy as jnp
+    from fsgm_tpu.params import SGMParams, FlowParams
+    from fsgm_tpu.io.datasets import KittiStereoDataset, KittiFlowDataset
+    from fsgm_tpu.io import kitti
+    from fsgm_tpu.eval.metrics import d1_all, fl_all
+
+    be = _backend(args.backend)
+    outdir = Path(args.output_dir) if args.output_dir else None
+    if outdir:
+        outdir.mkdir(parents=True, exist_ok=True)
+    records = []
+
+    if args.task == "stereo":
+        from fsgm_tpu.models.stereo import stereo_sgm
+        ds = KittiStereoDataset(args.root, year=args.year, split=args.split,
+                                occ=not args.noc)
+        p = _params_from_args(args, SGMParams)
+        for smp in ds:
+            t0 = time.perf_counter()
+            disp = np.asarray(stereo_sgm(jnp.asarray(smp.left),
+                                         jnp.asarray(smp.right), p, be))
+            dt = time.perf_counter() - t0
+            rec = {"frame": smp.name, "wall_s": round(dt, 4)}
+            if smp.gt is not None:
+                rec.update(d1_all(disp, smp.gt.astype(np.float64),
+                                  smp.gt_valid))
+            if outdir:
+                kitti.write_disparity_png(outdir / f"{smp.name}_10.png",
+                                          disp)
+            print(json.dumps(rec), flush=True)
+            records.append(rec)
+        err_key = "d1_all"
+    else:
+        from fsgm_tpu.models.flow import flow_fsgm
+        ds = KittiFlowDataset(args.root, year=args.year, split=args.split,
+                              occ=not args.noc)
+        p = FlowParams()
+        if getattr(args, "preset", None):
+            p = _params_from_args(args, FlowParams)
+        for smp in ds:
+            t0 = time.perf_counter()
+            flow, valid = flow_fsgm(jnp.asarray(smp.img1),
+                                    jnp.asarray(smp.img2), p, be)
+            flow, valid = np.asarray(flow), np.asarray(valid)
+            dt = time.perf_counter() - t0
+            rec = {"frame": smp.name, "wall_s": round(dt, 4)}
+            if smp.gt is not None:
+                rec.update(fl_all(flow, smp.gt, smp.gt_valid,
+                                  pred_valid=valid))
+            if outdir:
+                kitti.write_flow_png(outdir / f"{smp.name}_10.png",
+                                     np.where(valid[..., None], flow, 0),
+                                     valid)
+            print(json.dumps(rec), flush=True)
+            records.append(rec)
+        err_key = "fl_all"
+
+    scored = [r for r in records if err_key in r]
+    summary = {"cmd": "kitti", "task": args.task, "year": args.year,
+               "frames": len(records), "scored": len(scored)}
+    if scored:
+        summary[err_key] = round(
+            float(np.mean([r[err_key] for r in scored])), 4)
+        summary["mean_wall_s"] = round(
+            float(np.mean([r["wall_s"] for r in records])), 4)
+    print(json.dumps(summary))
     return 0
 
 
@@ -334,6 +415,20 @@ def main(argv=None) -> int:
                     default=0, help="die after N frames (recovery test)")
     _add_stereo_args(tp)
     tp.set_defaults(fn=cmd_batch)
+
+    kp = sub.add_parser("kitti",
+                        help="run a KITTI 2012/2015 benchmark directory")
+    kp.add_argument("task", choices=["stereo", "flow"])
+    kp.add_argument("root", help="dataset root (contains training/testing)")
+    kp.add_argument("--year", type=int, default=2015,
+                    choices=[2012, 2015])
+    kp.add_argument("--split", default="training")
+    kp.add_argument("--noc", action="store_true",
+                    help="score against noc (non-occluded) GT, not occ")
+    kp.add_argument("--output-dir", dest="output_dir",
+                    help="write predictions here (devkit naming)")
+    _add_stereo_args(kp)
+    kp.set_defaults(fn=cmd_kitti)
 
     st = sub.add_parser("scale-test",
                         help="weak-scaling harness over N localhost procs")
