@@ -12,6 +12,9 @@ Env knobs:
   FSGM_BENCH_CONFIG  kitti (default) | tsukuba | kitti16 | flow | 4k
   FSGM_BENCH_BACKEND pallas | xla  (default: pallas on TPU)
   FSGM_BENCH_BATCH   frames per dispatch (default per config)
+  FSGM_BENCH_STAGES  1 -> per-stage roofline table on stderr (JSONL:
+                     wall, modeled HBM bytes, achieved GB/s, % of peak;
+                     SURVEY.md §5 "roofline reporting"); stereo cfgs only
 
 Measurement notes (axon relay): every timed call is salted so no two
 executions are identical (the relay memoizes), and sync is a scalar
@@ -55,6 +58,119 @@ def _timed(run, args, batch, repeats, salt_dtype):
     return float(np.median(times)) / batch, compile_s
 
 
+def _stage_roofline(params, h, w, d, backend, iters=8) -> None:
+    """Per-stage roofline (SURVEY.md §5): times each pipeline stage as a
+    K-iteration in-jit loop (relay-safe: salted, scalar-synced) and reports
+    achieved HBM bandwidth vs the sgm_bytes_model estimate."""
+    import jax
+    import jax.numpy as jnp
+    from fsgm_tpu.io.synthetic import random_dot_stereo
+    from fsgm_tpu.ops.census import census_transform
+    from fsgm_tpu.ops.cost import cost_volume_stereo
+    from fsgm_tpu.ops import extract as ext
+    from fsgm_tpu.utils.profiling import StageTimer, sgm_bytes_model
+
+    il, ir, _ = random_dot_stereo(h, w, d, seed=0)
+    il, ir = jnp.asarray(il), jnp.asarray(ir)
+
+    if backend == "pallas":
+        from fsgm_tpu.ops.pallas import aggregate_pallas as pagg
+        s_dtype, _cdt = pagg.plan_dtypes(params.p2, params.s_invalid)
+    else:
+        s_dtype = jnp.int32
+    s_item = jnp.zeros((), s_dtype).dtype.itemsize
+    model = sgm_bytes_model(h, w, d, params.num_paths, s_itemsize=s_item)
+    vol = h * w * d
+    fam_bytes = vol * (1 + 2 * s_item)
+
+    def cost_of(img_l, img_r):
+        cl = census_transform(img_l, params.census_window)
+        cr = census_transform(img_r, params.census_window)
+        return cost_volume_stereo(cl, cr, params.max_disp,
+                                  params.invalid_cost)
+
+    def agg_family(cost_v, img_v, which):
+        if backend == "pallas":
+            from fsgm_tpu.ops.pallas import aggregate_pallas as pagg
+            costp, imgp = pagg.pad_inputs(cost_v, img_v)
+            s = jnp.zeros(costp.shape, s_dtype)
+            if which == "cols":
+                s = pagg.col_dir_sweep(costp, imgp, (0, 1), params.p1,
+                                       params.p2, params.adaptive_p2, s)
+                s = pagg.col_dir_sweep(costp, imgp, (0, -1), params.p1,
+                                       params.p2, params.adaptive_p2, s)
+            else:
+                fam = [r for r in params.dirs
+                       if (r[0] > 0) == (which == "down") and r[0] != 0]
+                s = pagg.row_family_sweep(costp, imgp, fam, params.p1,
+                                          params.p2, params.adaptive_p2, s)
+            return s
+        from fsgm_tpu.ops import aggregate as agg
+        fams = {"down": [r for r in params.dirs if r[0] > 0],
+                "up": [r for r in params.dirs if r[0] < 0],
+                "cols": [r for r in params.dirs if r[0] == 0]}[which]
+        s = jnp.zeros(cost_v.shape, jnp.int32)
+        for r in fams:
+            s = s + agg.aggregate_one_path(cost_v, img_v, r, params.p1,
+                                           params.p2, params.adaptive_p2,
+                                           agg.neighbor_min_1d
+                                           ).astype(jnp.int32)
+        return s
+
+    def extract_stage(s_v):
+        d_int = ext.wta(s_v)
+        disp = ext.subpixel_refine(s_v, d_int)
+        d_right = ext.wta_right_from_s(s_v, params.s_invalid)
+        disp = ext.lr_check(disp, d_right, params.lr_max_diff,
+                            params.max_disp)
+        return ext.median_filter_3x3(disp)
+
+    cost0 = cost_of(il, ir)
+    s0 = agg_family(cost0, il, "down").astype(s_dtype)[:, :w]
+
+    def loop(body):
+        @jax.jit
+        def run(salt, *args):
+            def it(i, acc):
+                s8 = (salt + i).astype(jnp.uint8)
+                return acc + body(s8, *args)
+            return jax.lax.fori_loop(0, iters, it, jnp.float32(0))
+        return run
+
+    stages = {
+        "census_cost": (loop(lambda s8, a, b:
+                             jnp.sum(cost_of(a + s8, b + s8),
+                                     dtype=jnp.float32)),
+                        (il, ir), model["cost"]),
+        "agg_down": (loop(lambda s8, c, g: jnp.sum(
+            agg_family(jnp.clip(c + s8 % 3, 0, 255).astype(jnp.uint8),
+                       g, "down").astype(jnp.float32))),
+            (cost0, il), fam_bytes),
+        "agg_up": (loop(lambda s8, c, g: jnp.sum(
+            agg_family(jnp.clip(c + s8 % 3, 0, 255).astype(jnp.uint8),
+                       g, "up").astype(jnp.float32))),
+            (cost0, il), fam_bytes),
+        "agg_cols": (loop(lambda s8, c, g: jnp.sum(
+            agg_family(jnp.clip(c + s8 % 3, 0, 255).astype(jnp.uint8),
+                       g, "cols").astype(jnp.float32))),
+            (cost0, il), 2 * fam_bytes),
+        "extract": (loop(lambda s8, s_v: jnp.sum(
+            extract_stage(s_v + s8.astype(s_dtype)))),
+            (s0,), model["extract"]),
+    }
+
+    timer = StageTimer()
+    for name, (run, args, nbytes) in stages.items():
+        float(run(np.uint8(255), *args))          # compile + warm
+        t0 = time.perf_counter()
+        float(run(np.uint8(1), *args))
+        timer.record(name, time.perf_counter() - t0,
+                     bytes_moved=nbytes * iters)
+    print("# stage roofline (modeled bytes, measured in-jit loop):",
+          file=sys.stderr)
+    timer.print_report(file=sys.stderr)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -80,10 +196,10 @@ def main() -> None:
 
         @jax.jit
         def run(x, y, salt):
-            out = jax.vmap(
+            flo, valid = jax.vmap(
                 lambda i1, i2: flow_fsgm(i1 + salt, i2 + salt, fparams,
                                          backend))(x, y)
-            return jnp.sum(out)
+            return jnp.sum(flo) + jnp.sum(valid)
 
         # label count per pixel at the finest level
         d_eff = fparams.num_labels * 2  # fwd + bwd pass
@@ -117,6 +233,9 @@ def main() -> None:
           f"platform={jax.devices()[0].platform} batch={batch} "
           f"frame={dt*1e3:.2f}ms fps={fps:.1f} compile={compile_s:.1f}s "
           f"vs_SoL={mpds / SOL_MPDS:.1%}", file=sys.stderr)
+
+    if os.environ.get("FSGM_BENCH_STAGES", "0") == "1" and cfg != "flow":
+        _stage_roofline(params, h, w, d, backend)
 
 
 if __name__ == "__main__":
