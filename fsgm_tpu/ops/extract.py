@@ -20,17 +20,26 @@ def wta(s: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmin(s, axis=-1).astype(jnp.int32)
 
 
-def wta_right_from_s(s: jnp.ndarray, s_invalid: int) -> jnp.ndarray:
+def wta_right_from_s(s: jnp.ndarray, s_invalid: int,
+                     gx: jnp.ndarray | None = None,
+                     w_global: int | None = None) -> jnp.ndarray:
     """Right-view disparity via the S-volume trick (SURVEY.md §2.1):
     d_R(y,x) = argmin_d S(y, x+d, d);  x+d >= W -> s_invalid.
 
     One gather along x (per-plane Python loops would emit D padded
-    (H, W, 1) temporaries — 128x padding blowup on TPU)."""
+    (H, W, 1) temporaries — 128x padding blowup on TPU).
+
+    gx / w_global: column-tiled mode — s spans an x-extended window whose
+    columns sit at GLOBAL positions gx (see parallel/tiled.py); validity
+    of x+d is then judged against the global image width, not the window
+    end (window-pad S is 0, which would otherwise win every argmin)."""
     h, w, nd = s.shape
     xs = jnp.arange(w, dtype=jnp.int32)[:, None]           # (W, 1)
     ds = jnp.arange(nd, dtype=jnp.int32)[None, :]          # (1, D)
     src = xs + ds                                          # (W, D)
     valid = src < w
+    if gx is not None:
+        valid = valid & (gx[:, None] + ds < w_global)
     src_c = jnp.clip(src, 0, w - 1)
     diag = jnp.take_along_axis(s, src_c[None, :, :], axis=1)  # S[y, x+d, d]
     diag = jnp.where(valid[None, :, :], diag, s_invalid)

@@ -10,6 +10,10 @@ TPU-native by design):
     sequence/context-parallel analog.  Census uses a small row halo; the
     cost volume, horizontal aggregation paths, and all extraction ops are
     row-local; only the vertical/diagonal path families cross tiles.
+  * mesh axis "tx" (optional): column tiling via margin windows — each
+    tile computes on an x-extended window (margin + D + census radius per
+    side) sliced from the all-gathered row band, then crops; bit-exact at
+    the auto margin by the SGM forgetting bound (_stereo_tile_tx).
 
 Cross-tile SGM path state is the canonical scan carry of
 `ops.aggregate.aggregate_one_path`: the last two L rows, shape (2, W, D)
@@ -294,9 +298,28 @@ def _aggregate_tiled_fast(cost_t, img_t, above2, below2, dirs, p1, p2,
 # Full tiled pipeline (inside shard_map, one frame per call)
 # --------------------------------------------------------------------------
 
+def _globalize_cost(cost, in_img, d_valid, invalid_cost):
+    """Column-tiled cost fixup in GLOBAL coordinates: out-of-image window
+    columns get cost 0 (the NEUTRAL pad value — a zero carry region
+    reproduces golden image-edge semantics, see aggregate_pallas.pad_inputs)
+    and in-image columns with a globally out-of-range match get
+    invalid_cost.  Only ever forces values, so it composes with the local
+    builder's own (stricter-nowhere) masking."""
+    cost = jnp.where(d_valid[None, :, :], cost,
+                     jnp.asarray(invalid_cost, cost.dtype))
+    return jnp.where(in_img[None, :, None], cost, jnp.asarray(0, cost.dtype))
+
 def _stereo_tile(img_l_t, img_r_t, params: SGMParams, dist: DistParams,
-                 axis: str, t: int, backend: str = "xla"):
-    """Row-tile stereo pipeline body: (Ht, W) pair -> (Ht, W) disparity."""
+                 axis: str, t: int, backend: str = "xla",
+                 gx=None, w_global: int | None = None):
+    """Row-tile stereo pipeline body: (Ht, W) pair -> (Ht, W) disparity.
+
+    gx / w_global (column-tiled mode): gx is the (W,) GLOBAL x coordinate
+    of each local column of an x-extended window (may be out of the global
+    [0, w_global) image).  Cost/LR validity then uses global coordinates,
+    out-of-image columns get the NEUTRAL zero cost (the kernel's zero-carry
+    pad trick reproduces golden edge semantics), and median edge
+    replication follows the global image edge."""
     ch, _ = params.census_window
     halo = max(ch // 2, 2)
 
@@ -306,6 +329,13 @@ def _stereo_tile(img_l_t, img_r_t, params: SGMParams, dist: DistParams,
     cen_r = census_transform(ir_ext, params.census_window)[halo:-halo]
     cost = cost_volume_stereo(cen_l, cen_r, params.max_disp,
                               params.invalid_cost)
+
+    in_img = None
+    if gx is not None:
+        ds = jnp.arange(params.max_disp, dtype=jnp.int32)[None, :]
+        in_img = (gx >= 0) & (gx < w_global)            # (W,)
+        cost = _globalize_cost(cost, in_img, gx[:, None] - ds >= 0,
+                               params.invalid_cost)
 
     def aggregate(cost_v, guide_t, guide_ext):
         above2 = guide_ext[halo - 2: halo]
@@ -344,15 +374,84 @@ def _stereo_tile(img_l_t, img_r_t, params: SGMParams, dist: DistParams,
             # the right volume, guided by the right image (SURVEY.md M3)
             cost_r = cost_volume_stereo_right(cen_l, cen_r, params.max_disp,
                                               params.invalid_cost)
+            if gx is not None:
+                ds = jnp.arange(params.max_disp, dtype=jnp.int32)[None, :]
+                cost_r = _globalize_cost(cost_r, in_img,
+                                         gx[:, None] + ds < w_global,
+                                         params.invalid_cost)
             d_right = ext.wta(aggregate(cost_r, img_r_t, ir_ext))
         else:
-            d_right = ext.wta_right_from_s(s, params.s_invalid)
+            d_right = ext.wta_right_from_s(s, params.s_invalid,
+                                           gx=gx, w_global=w_global)
+        if gx is not None:
+            # out-of-image d_right must never satisfy an LR comparison
+            d_right = jnp.where(in_img[None, :], d_right,
+                                jnp.int32(-(1 << 20)))
         disp = ext.lr_check(disp, d_right, params.lr_max_diff,
                             params.max_disp)
     if params.median_filter:  # needs one true neighbor row on each side
+        if gx is not None:
+            # golden medians replicate at the GLOBAL image edge: overwrite
+            # out-of-image window columns with the edge column's values
+            # (only adjacent-to-real at the true edge tiles, where the
+            # edge column IS the global edge)
+            first = jnp.argmax(in_img)          # leftmost in-image column
+            last = gx.shape[0] - 1 - jnp.argmax(in_img[::-1])
+            cols = jnp.arange(gx.shape[0])
+            left_fill = jnp.take(disp, first, axis=1)[:, None]
+            right_fill = jnp.take(disp, last, axis=1)[:, None]
+            disp = jnp.where(cols[None, :] < first, left_fill, disp)
+            disp = jnp.where(cols[None, :] > last, right_fill, disp)
         disp_ext = _exchange_row_halo(disp, 1, axis, t)
         disp = ext.median_filter_3x3(disp_ext)[1:-1]
     return disp
+
+
+def _stereo_tile_tx(img_l_t, img_r_t, params: SGMParams, dist: DistParams,
+                    axis: str, t: int, tx_axis: str, tx: int,
+                    backend: str = "xla"):
+    """Column-tiled pipeline body (SURVEY.md §2.2 SP "(TY, TX) blocks"):
+    (Ht, Wt) shard -> (Ht, Wt) disparity.
+
+    Construction: each tile computes the full pipeline on an x-EXTENDED
+    window of ex = margin + D + census_radius columns per side (sliced
+    from an all-gathered row band; images are the cheap object — the
+    volumes are never materialized at full width), then crops.  By SGM's
+    forgetting bound, every aggregated value at a distance >= margin from
+    the window edge equals the full-image value, so with the auto margin
+    (forgetting_margin) the result is BIT-EXACT, not approximate:
+
+      * final-WTA S needs exactness on [x0, x1): distance ex >= margin;
+      * the S-trick right-WTA reads S at x+d <= x1+D-1 and lr_check reads
+        d_R down to x0-D — both >= margin from the window edge;
+      * the first D window columns may see locally-unavailable cenR[x-d]
+        (forced invalid): they are >= margin + census_radius upstream of
+        anything consumed, so the forgetting bound absorbs them too.
+
+    Out-of-image window columns carry ZERO cost — the kernels' neutral pad
+    value — which reproduces golden image-edge path starts exactly; global
+    x validity for cost/right-WTA/LR and median edge replication are
+    handled in _stereo_tile via gx/w_global.  Work overhead per tile is
+    (Wt + 2 ex)/Wt on the aggregation stage only.
+    """
+    ch, cw = params.census_window
+    mx = dist.margin or forgetting_margin(params.p1, params.p2,
+                                          cmax=params.invalid_cost)
+    ex = mx + params.max_disp + cw // 2
+    ht, wt = img_l_t.shape
+    w = wt * tx
+    x0 = jax.lax.axis_index(tx_axis) * wt
+
+    def window(img_t):
+        full = jax.lax.all_gather(img_t, tx_axis, axis=1, tiled=True)
+        padded = jnp.pad(full, ((0, 0), (ex, ex)), mode="edge")
+        return jax.lax.dynamic_slice(padded, (jnp.int32(0), x0),
+                                     (ht, wt + 2 * ex))
+
+    gx = x0 - ex + jnp.arange(wt + 2 * ex, dtype=jnp.int32)
+    disp = _stereo_tile(window(img_l_t), window(img_r_t), params, dist,
+                        axis, t, backend, gx=gx, w_global=w)
+    return disp[:, ex: ex + wt]
 
 
 def _resolve_backend(backend: str) -> str:
@@ -366,20 +465,29 @@ def stereo_sgm_sharded(img_l, img_r, params: SGMParams, dist: DistParams,
                        mesh: jax.sharding.Mesh, backend: str = "auto"):
     """Batched sharded stereo: (F, H, W) uint8 pairs -> (F, H, W) float32.
 
-    F is sharded over mesh axis "frame" (DP), rows over "ty" (spatial).
-    H must divide evenly by the "ty" axis size.  backend 'pallas' runs the
-    fused family-sweep kernels per tile (the production TPU path); 'xla'
-    the lax.scan fallback; 'auto' picks by platform.
+    F is sharded over mesh axis "frame" (DP), rows over "ty" and columns
+    over "tx" (spatial; omit "tx" from the mesh for row-only tiling).
+    H (resp. W) must divide evenly by the "ty" (resp. "tx") axis size.
+    backend 'pallas' runs the fused family-sweep kernels per tile (the
+    production TPU path); 'xla' the lax.scan fallback; 'auto' picks by
+    platform.  Column tiling uses the margin-window construction
+    (_stereo_tile_tx): bit-exact at the auto margin in BOTH tile modes.
     """
     t = mesh.shape["ty"]
+    tx = mesh.shape.get("tx", 1)
     backend = _resolve_backend(backend)
 
-    def body(il, ir):  # local shards: (F_loc, Ht, W)
-        run = functools.partial(_stereo_tile, params=params, dist=dist,
-                                axis="ty", t=t, backend=backend)
+    def body(il, ir):  # local shards: (F_loc, Ht, Wt)
+        if tx > 1:
+            run = functools.partial(_stereo_tile_tx, params=params,
+                                    dist=dist, axis="ty", t=t,
+                                    tx_axis="tx", tx=tx, backend=backend)
+        else:
+            run = functools.partial(_stereo_tile, params=params, dist=dist,
+                                    axis="ty", t=t, backend=backend)
         return jax.vmap(run)(il, ir)
 
-    spec = P("frame", "ty", None)
+    spec = P("frame", "ty", "tx") if tx > 1 else P("frame", "ty", None)
     # check_vma=False: constants created inside the body (neutral scan
     # carries, INF pads) are unvarying-by-construction; the static varying-
     # axes checker would otherwise require pvary noise at every zeros().

@@ -21,6 +21,12 @@ def _mesh(frame: int, ty: int):
     return jax.make_mesh((frame, ty), ("frame", "ty"), devices=devs)
 
 
+def _mesh3(frame: int, ty: int, tx: int):
+    devs = jax.devices()[: frame * ty * tx]
+    return jax.make_mesh((frame, ty, tx), ("frame", "ty", "tx"),
+                         devices=devs)
+
+
 @pytest.fixture(scope="module")
 def pair():
     return random_dot_stereo(48, 64, 16, seed=11)
@@ -134,6 +140,54 @@ def test_exact_wavefront_work_accounting():
     # and the result is still exact
     ref = np.asarray(stereo_sgm(jnp.asarray(img_l), jnp.asarray(img_r), p))
     np.testing.assert_array_equal(np.asarray(out)[0], ref)
+
+
+@pytest.mark.parametrize("frame,ty,tx", [(1, 1, 2), (1, 2, 2), (2, 2, 2),
+                                          (1, 1, 4)])
+@pytest.mark.parametrize("mode", ["exact", "fast"])
+def test_column_tiled_matches_single(pair, frame, ty, tx, mode):
+    """(ty, tx) block tiling (SURVEY.md §2.2 SP row): the margin-window
+    construction along x must be BIT-exact at the auto margin, in both
+    tile modes, composed with the y wavefront."""
+    img_l, img_r, _ = pair
+    p = SGMParams(max_disp=16, p1=7, p2=60)
+    ref = np.asarray(stereo_sgm(jnp.asarray(img_l), jnp.asarray(img_r), p))
+
+    il = jnp.asarray(np.stack([img_l] * frame))
+    ir = jnp.asarray(np.stack([img_r] * frame))
+    dist = DistParams(tiles_y=ty, tiles_x=tx, frame_shards=frame,
+                      tile_mode=mode)
+    out = np.asarray(stereo_sgm_sharded(il, ir, p, dist,
+                                        _mesh3(frame, ty, tx)))
+    for f in range(frame):
+        np.testing.assert_array_equal(out[f], ref)
+
+
+@pytest.mark.parametrize("num_paths,adaptive,lr_mode",
+                         [(16, True, "s_trick"), (8, False, "reagg")])
+def test_column_tiled_variants(pair, num_paths, adaptive, lr_mode):
+    """Column tiling with 16-path/adaptive-P2 and with true LR
+    re-aggregation (the right volume's +d windows also ride gx)."""
+    img_l, img_r, _ = pair
+    p = SGMParams(max_disp=16, p1=7, p2=60, num_paths=num_paths,
+                  adaptive_p2=adaptive, lr_mode=lr_mode)
+    ref = np.asarray(stereo_sgm(jnp.asarray(img_l), jnp.asarray(img_r), p))
+    dist = DistParams(tiles_y=2, tiles_x=2, tile_mode="exact")
+    out = np.asarray(stereo_sgm_sharded(
+        img_l[None], img_r[None], p, dist, _mesh3(1, 2, 2)))[0]
+    np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.parametrize("backend", ["pallas"])
+def test_column_tiled_pallas_backend(pair, backend):
+    """tx windows through the fused Pallas sweeps (interpret mode)."""
+    img_l, img_r, _ = pair
+    p = SGMParams(max_disp=16, p1=7, p2=60)
+    ref = np.asarray(stereo_sgm(jnp.asarray(img_l), jnp.asarray(img_r), p))
+    dist = DistParams(tiles_y=2, tiles_x=2, tile_mode="exact")
+    out = np.asarray(stereo_sgm_sharded(
+        img_l[None], img_r[None], p, dist, _mesh3(1, 2, 2), backend))[0]
+    np.testing.assert_array_equal(out, ref)
 
 
 def test_margin_sweep_forgetting_bound():
