@@ -150,11 +150,14 @@ def fb_check(flow_fwd: jnp.ndarray, flow_bwd: jnp.ndarray, max_diff: float
 # --------------------------------------------------------------------------
 
 def _flow_one_level(img1, img2, prior_flow, params: FlowParams,
-                    backend: str, is_coarsest: bool = False):
+                    backend: str, is_coarsest: bool = False,
+                    cen1=None, cen2=None):
     base_u = jnp.rint(prior_flow[..., 0]).astype(jnp.int32)
     base_v = jnp.rint(prior_flow[..., 1]).astype(jnp.int32)
-    cen1 = census_transform(img1, params.census_window)
-    cen2 = census_transform(img2, params.census_window)
+    if cen1 is None:
+        cen1 = census_transform(img1, params.census_window)
+    if cen2 is None:
+        cen2 = census_transform(img2, params.census_window)
     cost = cost_volume_flow(cen1, cen2, base_u, base_v,
                             params.search_radius, params.invalid_cost,
                             identity_base=is_coarsest)
@@ -183,16 +186,20 @@ def _flow_one_level(img1, img2, prior_flow, params: FlowParams,
     return flow
 
 
-def _fsgm_flow_oneway(img1, img2, params: FlowParams, backend: str):
-    pyr1 = build_pyramid(img1, params.levels)
-    pyr2 = build_pyramid(img2, params.levels)
+def _fsgm_flow_oneway(pyr1, pyr2, cens1, cens2, params: FlowParams,
+                      backend: str):
+    """Coarse-to-fine pass over precomputed pyramids + census descriptors
+    (shared between the forward and backward passes — the backward pass
+    uses the same two pyramids with roles swapped, so pyramid/census work
+    is computed once per image, not once per direction)."""
     flow = jnp.zeros(pyr1[-1].shape + (2,), dtype=jnp.float32)
     for lvl in range(params.levels - 1, -1, -1):
         i1, i2 = pyr1[lvl], pyr2[lvl]
         if lvl < params.levels - 1:
             flow = upsample_flow_2x(flow, i1.shape[0], i1.shape[1])
         flow = _flow_one_level(i1, i2, flow, params, backend,
-                               is_coarsest=(lvl == params.levels - 1))
+                               is_coarsest=(lvl == params.levels - 1),
+                               cen1=cens1[lvl], cen2=cens2[lvl])
     return flow
 
 
@@ -204,9 +211,14 @@ def flow_fsgm(img1: jnp.ndarray, img2: jnp.ndarray, params: FlowParams,
 
     `valid` is False where the forward-backward check failed; flow values
     at invalid pixels are the unchecked forward estimates (callers mask)."""
-    flow = _fsgm_flow_oneway(img1, img2, params, backend)
+    pyr1 = build_pyramid(img1, params.levels)
+    pyr2 = build_pyramid(img2, params.levels)
+    cens1 = [census_transform(x, params.census_window) for x in pyr1]
+    cens2 = [census_transform(x, params.census_window) for x in pyr2]
+    flow = _fsgm_flow_oneway(pyr1, pyr2, cens1, cens2, params, backend)
     valid = jnp.ones(flow.shape[:2], dtype=bool)
     if params.fb_check:
-        flow_bwd = _fsgm_flow_oneway(img2, img1, params, backend)
+        flow_bwd = _fsgm_flow_oneway(pyr2, pyr1, cens2, cens1, params,
+                                     backend)
         valid = fb_check(flow, flow_bwd, params.fb_max_diff)
     return flow, valid

@@ -192,17 +192,22 @@ def _make_row_sweep_kernel(dirs: Sequence[Tuple[int, int]], w: int, nd: int,
     # limit at 4K widths; every op is per-x except the static sublane
     # shift, which reads the carry at [s-dx, e-dx) — processing chunks
     # AGAINST the shift direction keeps those reads on not-yet-overwritten
-    # previous-row state.  FSGM_XCHUNK tunes the chunk (sublane) size: small
-    # chunks keep a whole recurrence step's live values register-resident
-    # (fewer VMEM round-trips between ops), large ones amortize loop
-    # overhead — 256 measured best on v5e (NOTES-PERF round 2).
-    X_CHUNK = int(os.environ.get("FSGM_XCHUNK", "256"))
+    # previous-row state.  FSGM_XCHUNK tunes the chunk (sublane) size:
+    # measured on v5e (NOTES-PERF round 2) BIGGER is strictly better down
+    # to the VMEM ceiling (32->73.6, 64->46, 128->28.9, 256->18.9,
+    # 512->18.7 ms for the 4-family KITTI sweep) — Mosaic materializes
+    # every op's result in VMEM regardless, so small chunks only add
+    # per-op overhead.  512 keeps 4K widths inside the scoped VMEM limit.
+    X_CHUNK = int(os.environ.get("FSGM_XCHUNK", "512"))
     n_chunks = -(-w // X_CHUNK)
     bounds = [(c * X_CHUNK, min((c + 1) * X_CHUNK, w))
               for c in range(n_chunks)]
     # window-3 tree sharing (NOTES-PERF lead 2): seed the global-min rotate
-    # tree from the neighbor-min's window-3 running min, saving one level
-    share_w3 = (os.environ.get("FSGM_TREE", "w3") == "w3"
+    # tree from the neighbor-min's window-3 running min, saving one level.
+    # OPT-IN (FSGM_TREE=w3): the non-power-of-2 rotate amounts blow Mosaic
+    # compile time up ~10x (20+ min for the Tsukuba entry) — measured
+    # round 2; keep flat until the toolchain handles odd rotates
+    share_w3 = (os.environ.get("FSGM_TREE", "flat") == "w3"
                 and hasattr(nmin, "fused") and cdt == jnp.int32
                 and nd % 128 == 0)
 
@@ -365,7 +370,7 @@ COL_BLOCK = 8  # columns per column-sweep grid step (sublane-aligned DMA)
 
 def _make_col_sweep_kernel(reverse: bool, nmin: Callable, s_dtype, cdt,
                            carry_dt, hb: int, nd: int):
-    share_w3 = (os.environ.get("FSGM_TREE", "w3") == "w3"
+    share_w3 = (os.environ.get("FSGM_TREE", "flat") == "w3"
                 and hasattr(nmin, "fused") and cdt == jnp.int32
                 and nd % 128 == 0)
 

@@ -63,12 +63,30 @@ def _time_fn(fn, args, iters, repeats=3):
     return 1e3 * float(np.median(times)) / iters, compile_s
 
 
-def _make_stage(stage, params, img, cost, iters, knobs):
-    """Fresh-closure jitted K-iteration loop for one sweep stage.
+def _lower_with_knobs(fn, knobs, example_args):
+    """jit + LOWER (trace) `fn` while the env knobs are applied.
 
-    The env knobs are applied at TRACE time inside the closure, then
-    restored — each call returns a brand-new function object, so jax's
-    cache cannot alias two variants."""
+    The kernel knobs are read at TRACE time; jit traces lazily on first
+    call, so the env must be set around an explicit .lower() — merely
+    defining the jitted function under the env would trace it AFTER the
+    env is restored (measured: all variants identical)."""
+    import jax
+    saved = {k: os.environ.get(k) for k in knobs}
+    os.environ.update(knobs)
+    try:
+        lowered = jax.jit(fn).lower(np.uint8(0), *example_args)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    compiled = lowered.compile()
+    return lambda salt, *a: compiled(salt, *a)
+
+
+def _make_stage(stage, params, img, cost, iters, knobs):
+    """Fresh-closure jitted K-iteration loop for one sweep stage."""
     import jax
     import jax.numpy as jnp
     from fsgm_tpu.ops.pallas import aggregate_pallas as pagg
@@ -99,48 +117,29 @@ def _make_stage(stage, params, img, cost, iters, knobs):
             raise ValueError(stage)
         return jnp.sum(s.astype(jnp.int32))
 
-    saved = {k: os.environ.get(k) for k in knobs}
-    os.environ.update(knobs)
-    try:
-        @jax.jit
-        def run(salt, cost_v, img_v):
-            def it(i, acc):
-                # salt the cost so no two iterations are identical work
-                cv = jnp.clip(cost_v + (salt + i).astype(jnp.uint8) % 3,
-                              0, 255).astype(jnp.uint8)
-                return acc + body(salt, cv, img_v)
-            return jax.lax.fori_loop(0, iters, it, jnp.int32(0))
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                os.environ.pop(k, None)
-            else:
-                os.environ[k] = v
-    return run
+    def run(salt, cost_v, img_v):
+        def it(i, acc):
+            # salt the cost so no two iterations are identical work
+            cv = jnp.clip(cost_v + (salt + i).astype(jnp.uint8) % 3,
+                          0, 255).astype(jnp.uint8)
+            return acc + body(salt, cv, img_v)
+        return jax.lax.fori_loop(0, iters, it, jnp.int32(0))
+
+    return _lower_with_knobs(run, knobs, (cost, img))
 
 
-def _make_e2e(params, iters, knobs, backend):
-    import jax
+def _make_e2e(params, il, ir, iters, knobs, backend):
     import jax.numpy as jnp
     from fsgm_tpu.models.stereo import stereo_sgm
 
-    saved = {k: os.environ.get(k) for k in knobs}
-    os.environ.update(knobs)
-    try:
-        @jax.jit
-        def run(salt, il, ir):
-            def it(i, acc):
-                s8 = (salt + i).astype(jnp.uint8)
-                out = stereo_sgm(il + s8, ir + s8, params, backend)
-                return acc + jnp.sum(out)
-            return jax.lax.fori_loop(0, iters, it, jnp.float32(0))
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                os.environ.pop(k, None)
-            else:
-                os.environ[k] = v
-    return run
+    def run(salt, il_v, ir_v):
+        def it(i, acc):
+            s8 = (salt + i).astype(jnp.uint8)
+            out = stereo_sgm(il_v + s8, ir_v + s8, params, backend)
+            return acc + jnp.sum(out)
+        return jax.lax.fori_loop(0, iters, it, jnp.float32(0))
+
+    return _lower_with_knobs(run, knobs, (il, ir))
 
 
 def main() -> None:
@@ -186,7 +185,7 @@ def main() -> None:
         label = ",".join(f"{k}={v}" for k, v in knobs.items()) or "default"
         try:
             if args.stage == "e2e":
-                fn = _make_e2e(params, args.iters, knobs, "pallas")
+                fn = _make_e2e(params, il, ir, args.iters, knobs, "pallas")
                 ms, cs = _time_fn(fn, (il, ir), args.iters)
             else:
                 fn = _make_stage(args.stage, params, il, cost, args.iters,
