@@ -37,6 +37,8 @@ def main() -> None:
     ap.add_argument("--radius", type=int, default=4)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--backend", default="pallas")
+    ap.add_argument("--skip-e2e", action="store_true")
+    ap.add_argument("--skip-levels", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -74,28 +76,31 @@ def main() -> None:
           file=sys.stderr)
 
     # ---- end-to-end first (fwd+bwd, fwd-only) ----
+    import dataclasses
     from fsgm_tpu.models.flow import flow_fsgm
 
-    def e2e(s8, a, b):
-        f, v = flow_fsgm(a + s8, b + s8, params, be)
-        return jnp.sum(f) + jnp.sum(v)
-    ms = _timeit(loop(e2e), (i1, i2), iters)
-    print(f"{'e2e fwd+bwd':28s} {ms:8.2f} ms")
+    if not args.skip_e2e:
+        def e2e(s8, a, b):
+            f, v = flow_fsgm(a + s8, b + s8, params, be)
+            return jnp.sum(f) + jnp.sum(v)
+        ms = _timeit(loop(e2e), (i1, i2), iters)
+        print(f"{'e2e fwd+bwd':28s} {ms:8.2f} ms")
 
-    import dataclasses
-    p_nofb = dataclasses.replace(params, fb_check=False)
+        p_nofb = dataclasses.replace(params, fb_check=False)
 
-    def fwd(s8, a, b):
-        f, v = flow_fsgm(a + s8, b + s8, p_nofb, be)
-        return jnp.sum(f) + jnp.sum(v)
-    ms_f = _timeit(loop(fwd), (i1, i2), iters)
-    print(f"{'e2e fwd only':28s} {ms_f:8.2f} ms")
+        def fwd(s8, a, b):
+            f, v = flow_fsgm(a + s8, b + s8, p_nofb, be)
+            return jnp.sum(f) + jnp.sum(v)
+        ms_f = _timeit(loop(fwd), (i1, i2), iters)
+        print(f"{'e2e fwd only':28s} {ms_f:8.2f} ms")
 
     # ---- per-level stages ----
     lvl_imgs = [(i1, i2)]
     for _ in range(args.levels - 1):
         a, b = lvl_imgs[-1]
         lvl_imgs.append((mflow.downsample2x(a), mflow.downsample2x(b)))
+    if args.skip_levels:
+        lvl_imgs = []
 
     for lvl, (a, b) in enumerate(lvl_imgs):
         hh, ww = a.shape
@@ -163,6 +168,31 @@ def main() -> None:
 
         print(f"level {lvl} ({hh}x{ww}):  cen+cost {ms_cc:7.2f}  "
               f"agg {ms_ag:7.2f}  extract {ms_ex:7.2f} ms")
+
+    # ---- real-warp cost (the stage above uses identity_base=True; the
+    # finer levels warp cen2 by the prior flow — a per-pixel gather) ----
+    prior_u = jnp.full((h, w), 3, jnp.int32)
+    prior_v = jnp.full((h, w), -2, jnp.int32)
+    c1f = census_transform(i1, params.census_window)
+    c2f = census_transform(i2, params.census_window)
+
+    def warpcost(s8, cc1, cc2):
+        c = cost_volume_flow(cc1 ^ s8.astype(jnp.uint32), cc2, prior_u,
+                             prior_v, params.search_radius,
+                             params.invalid_cost, identity_base=False)
+        return jnp.sum(c, dtype=jnp.float32)
+    ms_wc = _timeit(loop(warpcost), (c1f, c2f), iters)
+    print(f"{'warp-cost (L0, real warp)':28s} {ms_wc:8.2f} ms")
+
+    # ---- one full level at L0 (everything between pyramids) ----
+    prior = jnp.stack([prior_u.astype(jnp.float32),
+                       prior_v.astype(jnp.float32)], axis=-1)
+
+    def level0(s8, a, b):
+        f = mflow._flow_one_level(a + s8, b + s8, prior, params, be)
+        return jnp.sum(f)
+    ms_l0 = _timeit(loop(level0), (i1, i2), iters)
+    print(f"{'level 0 full (real warp)':28s} {ms_l0:8.2f} ms")
 
     # ---- fb_check at full res ----
     f0 = jnp.zeros((h, w, 2), jnp.float32)

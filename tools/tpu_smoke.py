@@ -8,6 +8,9 @@ Run on a machine with a TPU attached:  python tools/tpu_smoke.py
 import numpy as np
 import jax.numpy as jnp
 
+import sys
+from pathlib import Path
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from fsgm_tpu.params import SGMParams, FlowParams
 from fsgm_tpu.models.stereo import stereo_sgm, compute_s_volume
 from fsgm_tpu.models.flow import flow_fsgm
