@@ -188,7 +188,8 @@ def main() -> None:
     repeats = 6
 
     if cfg == "flow":
-        fparams = FlowParams(search_radius=4, levels=4, p1=7, p2=100)
+        fparams = FlowParams(search_radius=4, levels=4, p1=7, p2=100,
+                             fb_cheap_backward=True)
         pairs = [constant_flow_pair(h, w, 3, -2, seed=s)
                  for s in range(batch)]
         a = jnp.asarray(np.stack([p[0] for p in pairs]))

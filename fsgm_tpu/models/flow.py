@@ -19,6 +19,7 @@ stack; golden/flow.py is the exact-integer oracle):
 from __future__ import annotations
 
 
+import dataclasses
 import functools
 
 import jax
@@ -218,7 +219,14 @@ def flow_fsgm(img1: jnp.ndarray, img2: jnp.ndarray, params: FlowParams,
     flow = _fsgm_flow_oneway(pyr1, pyr2, cens1, cens2, params, backend)
     valid = jnp.ones(flow.shape[:2], dtype=bool)
     if params.fb_check:
-        flow_bwd = _fsgm_flow_oneway(pyr2, pyr1, cens2, cens1, params,
+        bwd_params = params
+        if params.fb_cheap_backward:
+            # backward flow feeds only fb_check (1 px tolerance): drop the
+            # sub-0.5 px subpixel refinement and the median smoothing from
+            # the backward pass (golden/flow.py mirrors this exactly)
+            bwd_params = dataclasses.replace(
+                params, subpixel=False, median_filter=False)
+        flow_bwd = _fsgm_flow_oneway(pyr2, pyr1, cens2, cens1, bwd_params,
                                      backend)
         valid = fb_check(flow, flow_bwd, params.fb_max_diff)
     return flow, valid

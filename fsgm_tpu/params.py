@@ -113,6 +113,10 @@ class FlowParams:
     subpixel: bool = True              # separable 2D parabola
     fb_check: bool = True              # forward-backward consistency (finest level)
     fb_max_diff: float = 1.0
+    # Cheap backward pass: the backward flow feeds ONLY fb_check (1 px
+    # tolerance), so its sub-0.5 px subpixel refinement and median
+    # smoothing are skipped when set (VERDICT r1 item 5; golden mirrors).
+    fb_cheap_backward: bool = False
     median_filter: bool = True
     invalid_cost: int = 255
 

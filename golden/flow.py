@@ -263,6 +263,11 @@ def fsgm_flow(img1: np.ndarray, img2: np.ndarray, params: FlowParams,
         # of its own pyramid for cost; reuse the same machinery with swapped
         # images.
         bwd_params = dataclasses.replace(params, fb_check=False)
+        if params.fb_cheap_backward:
+            # mirror fsgm_tpu/models/flow.py: backward pass feeds only
+            # fb_check, so subpixel + median are dropped from it
+            bwd_params = dataclasses.replace(
+                bwd_params, subpixel=False, median_filter=False)
         flow_bwd, _ = fsgm_flow(img2, img1, bwd_params)
         valid = fb_check(flow, flow_bwd, params.fb_max_diff)
     if return_intermediates:

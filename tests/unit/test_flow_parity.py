@@ -65,6 +65,28 @@ def test_flow_full_close_to_golden(pair, backend):
                                atol=1e-3)
 
 
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_flow_cheap_backward_parity(pair, backend):
+    # fb_cheap_backward drops subpixel+median from the backward pass only;
+    # golden mirrors the mode, so parity stays exact-valid / tol-values
+    img1, img2, _ = pair
+    p = FlowParams(search_radius=3, levels=3, p1=7, p2=60,
+                   fb_cheap_backward=True)
+    gold, gold_valid = gf.fsgm_flow(img1, img2, p)
+    ours, valid = jflow.flow_fsgm(jnp.asarray(img1), jnp.asarray(img2),
+                                  p, backend)
+    ours, valid = np.asarray(ours), np.asarray(valid)
+    np.testing.assert_array_equal(valid, gold_valid)
+    np.testing.assert_allclose(ours[gold_valid], gold[gold_valid],
+                               atol=1e-3)
+    # the forward flow itself is UNCHANGED by the mode: compare against
+    # the default-mode forward estimate (values everywhere, not just valid)
+    p0 = FlowParams(search_radius=3, levels=3, p1=7, p2=60)
+    base, _ = jflow.flow_fsgm(jnp.asarray(img1), jnp.asarray(img2),
+                              p0, backend)
+    np.testing.assert_allclose(ours, np.asarray(base), atol=1e-6)
+
+
 def test_flow_recovers_constant_translation():
     img1, img2, flow_gt = constant_flow_pair(64, 80, 3, -2, seed=9)
     p = FlowParams(search_radius=4, levels=3, p1=7, p2=60)

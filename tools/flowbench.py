@@ -39,6 +39,7 @@ def main() -> None:
     ap.add_argument("--backend", default="pallas")
     ap.add_argument("--skip-e2e", action="store_true")
     ap.add_argument("--skip-levels", action="store_true")
+    ap.add_argument("--compose", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -203,6 +204,69 @@ def main() -> None:
         return jnp.sum(v, dtype=jnp.float32)
     ms_fb = _timeit(loop(fb), (f0, f0), iters)
     print(f"{'fb_check (full res)':28s} {ms_fb:8.2f} ms")
+
+    if args.compose:
+        _compose(args, params, loop, iters, i1, i2, prior, be)
+
+
+def _compose(args, params, loop, iters, i1, i2, prior, be):
+    """Cumulative-prefix timings of the composed L0 pipeline (real warp,
+    salted census so nothing hoists out of the in-jit loop).  Pinpoints
+    where composition overhead lands vs. the isolated stage times."""
+    import jax.numpy as jnp
+    from fsgm_tpu.params import DIRS_8
+    from fsgm_tpu.ops.census import census_transform
+    from fsgm_tpu.ops.cost import cost_volume_flow
+    from fsgm_tpu.ops import aggregate as agg
+    from fsgm_tpu.ops import extract as ext
+    from fsgm_tpu.models import flow as mflow
+
+    base_u = jnp.rint(prior[..., 0]).astype(jnp.int32)
+    base_v = jnp.rint(prior[..., 1]).astype(jnp.int32)
+    s_max = 8 * (params.invalid_cost + params.p2)
+    extw = params.window_extent
+
+    def upto(stage):
+        def body(s8, a, b):
+            c1 = census_transform(a + s8, params.census_window)
+            c2 = census_transform(b + s8, params.census_window)
+            cost = cost_volume_flow(c1, c2, base_u, base_v,
+                                    params.search_radius,
+                                    params.invalid_cost,
+                                    identity_base=False)
+            if stage == "cost":
+                return jnp.sum(cost, dtype=jnp.float32)
+            if be == "pallas":
+                from fsgm_tpu.ops.pallas import aggregate_pallas as pagg
+                s = pagg.aggregate_paths(cost, a, DIRS_8, params.p1,
+                                         params.p2, params.adaptive_p2,
+                                         label_ext=extw, s_max=s_max)
+            else:
+                nm = agg.make_neighbor_min_2d(params.search_radius)
+                s = agg.aggregate_paths(cost, a, DIRS_8, params.p1,
+                                        params.p2, params.adaptive_p2,
+                                        neighbor_min=nm)
+            if stage == "agg":
+                return jnp.sum(s, dtype=jnp.float32)
+            du, dv, l_int = mflow.wta_flow(s, params.search_radius)
+            u = (base_u + du).astype(jnp.float32)
+            v = (base_v + dv).astype(jnp.float32)
+            if stage == "wta":
+                return jnp.sum(u) + jnp.sum(v)
+            du_o, dv_o = mflow.subpixel_flow(s, l_int, params.search_radius)
+            u, v = u + du_o, v + dv_o
+            if stage == "subpixel":
+                return jnp.sum(u) + jnp.sum(v)
+            u = ext.median_filter_3x3(u)
+            v = ext.median_filter_3x3(v)
+            return jnp.sum(u) + jnp.sum(v)
+        return body
+
+    prev = 0.0
+    for stage in ("cost", "agg", "wta", "subpixel", "median"):
+        ms = _timeit(loop(upto(stage)), (i1, i2), iters)
+        print(f"compose upto {stage:10s} {ms:8.2f} ms  (+{ms - prev:6.2f})")
+        prev = ms
 
 
 if __name__ == "__main__":
