@@ -189,7 +189,7 @@ def main() -> None:
 
     if cfg == "flow":
         fparams = FlowParams(search_radius=4, levels=4, p1=7, p2=100,
-                             fb_cheap_backward=True)
+                             fb_backward="cheap")
         pairs = [constant_flow_pair(h, w, 3, -2, seed=s)
                  for s in range(batch)]
         a = jnp.asarray(np.stack([p[0] for p in pairs]))

@@ -219,14 +219,25 @@ def flow_fsgm(img1: jnp.ndarray, img2: jnp.ndarray, params: FlowParams,
     flow = _fsgm_flow_oneway(pyr1, pyr2, cens1, cens2, params, backend)
     valid = jnp.ones(flow.shape[:2], dtype=bool)
     if params.fb_check:
-        bwd_params = params
-        if params.fb_cheap_backward:
-            # backward flow feeds only fb_check (1 px tolerance): drop the
-            # sub-0.5 px subpixel refinement and the median smoothing from
-            # the backward pass (golden/flow.py mirrors this exactly)
+        if params.fb_backward == "single":
+            # one backward SGM level at finest resolution: prior is the
+            # negated forward flow, so the (2w+1)^2 window independently
+            # re-verifies each pixel; no backward pyramid, no subpixel or
+            # median (fb_check rounds and tolerates 1 px).  Golden mirrors.
             bwd_params = dataclasses.replace(
                 params, subpixel=False, median_filter=False)
-        flow_bwd = _fsgm_flow_oneway(pyr2, pyr1, cens2, cens1, bwd_params,
-                                     backend)
+            flow_bwd = _flow_one_level(pyr2[0], pyr1[0], -flow, bwd_params,
+                                       backend, cen1=cens2[0],
+                                       cen2=cens1[0])
+        else:
+            bwd_params = params
+            if params.fb_backward == "cheap":
+                # backward flow feeds only fb_check (1 px tolerance): drop
+                # the sub-0.5 px subpixel refinement and median smoothing
+                # from every backward level (golden/flow.py mirrors)
+                bwd_params = dataclasses.replace(
+                    params, subpixel=False, median_filter=False)
+            flow_bwd = _fsgm_flow_oneway(pyr2, pyr1, cens2, cens1,
+                                         bwd_params, backend)
         valid = fb_check(flow, flow_bwd, params.fb_max_diff)
     return flow, valid

@@ -113,10 +113,17 @@ class FlowParams:
     subpixel: bool = True              # separable 2D parabola
     fb_check: bool = True              # forward-backward consistency (finest level)
     fb_max_diff: float = 1.0
-    # Cheap backward pass: the backward flow feeds ONLY fb_check (1 px
-    # tolerance), so its sub-0.5 px subpixel refinement and median
-    # smoothing are skipped when set (VERDICT r1 item 5; golden mirrors).
-    fb_cheap_backward: bool = False
+    # Backward-pass variant for fb_check (VERDICT r1 item 5; golden
+    # mirrors each mode exactly):
+    #   "full"   - backward pass identical to forward (round-1 behavior)
+    #   "cheap"  - backward flow feeds ONLY fb_check (1 px tolerance), so
+    #              its sub-0.5 px subpixel refinement and median smoothing
+    #              are skipped at every backward level
+    #   "single" - one backward SGM level at finest resolution with the
+    #              negated forward flow as prior (no backward pyramid);
+    #              the (2w+1)^2 search window re-verifies each pixel
+    #              independently, subpixel/median skipped as in "cheap"
+    fb_backward: str = "full"
     median_filter: bool = True
     invalid_cost: int = 255
 
@@ -124,6 +131,8 @@ class FlowParams:
         ch, cw = self.census_window
         if ch * cw - 1 > 63:
             raise ValueError("census window too large")
+        if self.fb_backward not in ("full", "cheap", "single"):
+            raise ValueError(f"unknown fb_backward: {self.fb_backward!r}")
         num_labels = (2 * self.search_radius + 1) ** 2
         cmax = min(ch * cw - 1, self.invalid_cost)
         if 8 * (cmax + self.p2) >= 1 << 16:

@@ -262,13 +262,21 @@ def fsgm_flow(img1: np.ndarray, img2: np.ndarray, params: FlowParams,
         # backward flow at full resolution only, zero prior at finest level
         # of its own pyramid for cost; reuse the same machinery with swapped
         # images.
-        bwd_params = dataclasses.replace(params, fb_check=False)
-        if params.fb_cheap_backward:
-            # mirror fsgm_tpu/models/flow.py: backward pass feeds only
-            # fb_check, so subpixel + median are dropped from it
+        if params.fb_backward == "single":
+            # mirror fsgm_tpu/models/flow.py: one backward level at finest
+            # resolution with the negated forward flow as prior, no
+            # subpixel/median
             bwd_params = dataclasses.replace(
-                bwd_params, subpixel=False, median_filter=False)
-        flow_bwd, _ = fsgm_flow(img2, img1, bwd_params)
+                params, subpixel=False, median_filter=False)
+            flow_bwd = _flow_one_level(img2, img1, -flow, bwd_params)
+        else:
+            bwd_params = dataclasses.replace(params, fb_check=False)
+            if params.fb_backward == "cheap":
+                # backward pass feeds only fb_check: subpixel + median are
+                # dropped from it
+                bwd_params = dataclasses.replace(
+                    bwd_params, subpixel=False, median_filter=False)
+            flow_bwd, _ = fsgm_flow(img2, img1, bwd_params)
         valid = fb_check(flow, flow_bwd, params.fb_max_diff)
     if return_intermediates:
         return flow, valid, dict(per_level=per_level)

@@ -66,12 +66,13 @@ def test_flow_full_close_to_golden(pair, backend):
 
 
 @pytest.mark.parametrize("backend", ["xla", "pallas"])
-def test_flow_cheap_backward_parity(pair, backend):
-    # fb_cheap_backward drops subpixel+median from the backward pass only;
-    # golden mirrors the mode, so parity stays exact-valid / tol-values
+@pytest.mark.parametrize("mode", ["cheap", "single"])
+def test_flow_backward_mode_parity(pair, backend, mode):
+    # fb_backward variants change only the backward pass feeding fb_check;
+    # golden mirrors each mode, so parity stays exact-valid / tol-values
     img1, img2, _ = pair
     p = FlowParams(search_radius=3, levels=3, p1=7, p2=60,
-                   fb_cheap_backward=True)
+                   fb_backward=mode)
     gold, gold_valid = gf.fsgm_flow(img1, img2, p)
     ours, valid = jflow.flow_fsgm(jnp.asarray(img1), jnp.asarray(img2),
                                   p, backend)
@@ -85,6 +86,20 @@ def test_flow_cheap_backward_parity(pair, backend):
     base, _ = jflow.flow_fsgm(jnp.asarray(img1), jnp.asarray(img2),
                               p0, backend)
     np.testing.assert_allclose(ours, np.asarray(base), atol=1e-6)
+
+
+def test_flow_single_backward_validates_constant_translation():
+    # with exact constant motion the single-level backward prior (-fwd) is
+    # the true backward flow, so fb_check should keep nearly all interior
+    # pixels valid and the flow estimate intact
+    img1, img2, flow_gt = constant_flow_pair(64, 80, 3, -2, seed=9)
+    p = FlowParams(search_radius=4, levels=3, p1=7, p2=60,
+                   fb_backward="single")
+    out, valid = jflow.flow_fsgm(jnp.asarray(img1), jnp.asarray(img2), p)
+    out, valid = np.asarray(out), np.asarray(valid)
+    assert valid.mean() > 0.5
+    err = np.abs(out - flow_gt)[valid]
+    assert np.mean(err <= 1.0) > 0.9, f"flow error too high: {err.mean()}"
 
 
 def test_flow_recovers_constant_translation():
