@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from fsgm_tpu.params import FlowParams, DIRS_8
 from fsgm_tpu.ops.census import census_transform
-from fsgm_tpu.ops.cost import cost_volume_flow
+from fsgm_tpu.ops.cost import cost_volume_flow, cost_volume_flow_major
 from fsgm_tpu.ops import aggregate as agg
 from fsgm_tpu.ops import extract as ext
 
@@ -159,17 +159,32 @@ def _flow_one_level(img1, img2, prior_flow, params: FlowParams,
         cen1 = census_transform(img1, params.census_window)
     if cen2 is None:
         cen2 = census_transform(img2, params.census_window)
-    cost = cost_volume_flow(cen1, cen2, base_u, base_v,
-                            params.search_radius, params.invalid_cost,
-                            identity_base=is_coarsest)
     extw = params.window_extent
+    nd = extw * extw
     if backend == "pallas":
-        from fsgm_tpu.ops.pallas import aggregate_pallas
+        # Label-MAJOR build + in-kernel butterfly transpose: materializing
+        # the label-minor volume from XLA costs ~32 ms/level at KITTI size
+        # (scalarized fusion; see transpose_pallas.py), this path ~4 ms.
+        # Pad labels to 128 with invalid_cost planes (never win a min) and
+        # run the sweeps at the aligned lane count, slicing S afterwards.
+        from fsgm_tpu.ops.pallas import aggregate_pallas, transpose_pallas
+        cost_m = cost_volume_flow_major(
+            cen1, cen2, base_u, base_v, params.search_radius,
+            params.invalid_cost, identity_base=is_coarsest,
+            nd_pad=transpose_pallas.T)
+        cost = transpose_pallas.label_minor_from_major(cost_m)
+        wp = cost.shape[1]
+        img_p = img1 if wp == img1.shape[1] else jnp.pad(
+            img1, ((0, 0), (0, wp - img1.shape[1])), mode="edge")
         s_max = 8 * (params.invalid_cost + params.p2)
         s = aggregate_pallas.aggregate_paths(
-            cost, img1, DIRS_8, params.p1, params.p2, params.adaptive_p2,
+            cost, img_p, DIRS_8, params.p1, params.p2, params.adaptive_p2,
             label_ext=extw, s_max=s_max)
+        s = s[:, :img1.shape[1], :nd]
     else:
+        cost = cost_volume_flow(cen1, cen2, base_u, base_v,
+                                params.search_radius, params.invalid_cost,
+                                identity_base=is_coarsest)
         nm = agg.make_neighbor_min_2d(params.search_radius)
         s = agg.aggregate_paths(cost, img1, DIRS_8, params.p1, params.p2,
                                 params.adaptive_p2, neighbor_min=nm)

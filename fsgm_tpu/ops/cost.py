@@ -60,26 +60,13 @@ def cost_volume_stereo_right(cen_l: jnp.ndarray, cen_r: jnp.ndarray,
     return c.astype(jnp.uint8)
 
 
-def cost_volume_flow(cen1: jnp.ndarray, cen2: jnp.ndarray,
-                     base_u: jnp.ndarray, base_v: jnp.ndarray,
-                     radius: int, invalid_cost: int = 255,
-                     y_offset: int | jnp.ndarray = 0,
-                     identity_base: bool = False) -> jnp.ndarray:
-    """(H, W, (2w+1)^2) uint8 flow cost volume, warp-then-shift form.
-
-    Exactly mirrors golden/flow.py::cost_volume_flow: the second image's
-    census is warped ONCE by the rounded prior flow (a single per-pixel
-    gather — the per-pixel-per-label gather XLA would otherwise emit costs
-    ~400 ms/frame on TPU), then the (2w+1)^2 window offsets are STATIC
-    shifts of the warped descriptors.  Label order l = (dv+w)*(2w+1)+(du+w).
-
-    Tiled mode: cen1 is a row tile, cen2 the FULL second image, y_offset
-    the tile's global starting row, and base_u/base_v arrive EXTENDED by
-    `radius` true halo rows per side (the dv shifts read warped
-    descriptors across tile seams).  Untiled callers pass unextended
-    fields; rows beyond the provided halo are invalid-padded internally,
-    which matches the golden bounds semantics.
-    """
+def _flow_cost_planes(cen1: jnp.ndarray, cen2: jnp.ndarray,
+                      base_u: jnp.ndarray, base_v: jnp.ndarray,
+                      radius: int, invalid_cost: int,
+                      y_offset: int | jnp.ndarray,
+                      identity_base: bool) -> list[jnp.ndarray]:
+    """The (2w+1)^2 shifted-hamming planes shared by both flow builders
+    (label-minor and label-major); label order l = (dv+w)*(2w+1)+(du+w)."""
     h, w = cen1.shape[:2]
     h2 = cen2.shape[0]
     hb = base_u.shape[0]             # h (untiled) or h + 2*halo (tiled)
@@ -138,4 +125,59 @@ def cost_volume_flow(cen1: jnp.ndarray, cen2: jnp.ndarray,
             ham = hamming(cen1, shifted)
             planes.append(jnp.where(ok & inb, ham,
                                     invalid_cost).astype(jnp.uint8))
-    return jnp.stack(planes, axis=-1)
+    return planes
+
+
+def cost_volume_flow(cen1: jnp.ndarray, cen2: jnp.ndarray,
+                     base_u: jnp.ndarray, base_v: jnp.ndarray,
+                     radius: int, invalid_cost: int = 255,
+                     y_offset: int | jnp.ndarray = 0,
+                     identity_base: bool = False) -> jnp.ndarray:
+    """(H, W, (2w+1)^2) uint8 flow cost volume, warp-then-shift form.
+
+    Exactly mirrors golden/flow.py::cost_volume_flow: the second image's
+    census is warped ONCE by the rounded prior flow (a single per-pixel
+    gather — the per-pixel-per-label gather XLA would otherwise emit costs
+    ~400 ms/frame on TPU), then the (2w+1)^2 window offsets are STATIC
+    shifts of the warped descriptors.  Label order l = (dv+w)*(2w+1)+(du+w).
+
+    Tiled mode: cen1 is a row tile, cen2 the FULL second image, y_offset
+    the tile's global starting row, and base_u/base_v arrive EXTENDED by
+    `radius` true halo rows per side (the dv shifts read warped
+    descriptors across tile seams).  Untiled callers pass unextended
+    fields; rows beyond the provided halo are invalid-padded internally,
+    which matches the golden bounds semantics.
+
+    NOTE for Pallas consumers: this label-MINOR stack materializes
+    scalarized when it feeds a custom call (~32 ms at KITTI size —
+    measured, see ops/pallas/transpose_pallas.py).  Fused XLA consumers
+    (reductions, the scan backend) are unaffected.  The Pallas pipeline
+    uses cost_volume_flow_major + the butterfly transpose instead.
+    """
+    return jnp.stack(
+        _flow_cost_planes(cen1, cen2, base_u, base_v, radius, invalid_cost,
+                          y_offset, identity_base), axis=-1)
+
+
+def cost_volume_flow_major(cen1: jnp.ndarray, cen2: jnp.ndarray,
+                           base_u: jnp.ndarray, base_v: jnp.ndarray,
+                           radius: int, invalid_cost: int = 255,
+                           y_offset: int | jnp.ndarray = 0,
+                           identity_base: bool = False,
+                           nd_pad: int | None = None) -> jnp.ndarray:
+    """(H, nd_pad, W) uint8 label-MAJOR flow cost volume.
+
+    Same values as cost_volume_flow (label l lives at [:, l, :]); the
+    label axis is padded to `nd_pad` with invalid_cost planes, which
+    behave exactly like invalid pixels in the sweep kernels (never win a
+    min; the golden edge-masking keeps them out of real lanes' neighbor
+    mins).  Written vectorized along W — this is the fast producer for
+    the Pallas path (pair with transpose_pallas.label_minor_from_major).
+    """
+    planes = _flow_cost_planes(cen1, cen2, base_u, base_v, radius,
+                               invalid_cost, y_offset, identity_base)
+    if nd_pad is not None and nd_pad > len(planes):
+        h, w = cen1.shape[:2]
+        pad = jnp.full((h, w), invalid_cost, jnp.uint8)
+        planes = planes + [pad] * (nd_pad - len(planes))
+    return jnp.stack(planes, axis=1)
