@@ -42,7 +42,9 @@ CONFIGS = {
     "tsukuba": (288, 384, 64, 16, "tsukuba_stereo_sgm_throughput"),
     "kitti16": (375, 1242, 128, 8, "kitti_16path_adaptive_throughput"),
     "4k":      (2160, 3840, 128, 1, "uhd_stereo_sgm_throughput"),
-    "flow":    (368, 1232, 81, 2, "kitti_flow_fsgm_throughput"),
+    # flow batch 8: amortizes the ~29 ms relay dispatch floor to ~3.6 ms/
+    # frame (batch 2 left ~14.5 ms/frame of pure dispatch in the metric)
+    "flow":    (368, 1232, 81, 8, "kitti_flow_fsgm_throughput"),
 }
 
 
@@ -189,7 +191,8 @@ def main() -> None:
 
     if cfg == "flow":
         fparams = FlowParams(search_radius=4, levels=4, p1=7, p2=100,
-                             fb_backward="cheap")
+                             fb_backward=os.environ.get("FSGM_BENCH_FB",
+                                                        "cheap"))
         pairs = [constant_flow_pair(h, w, 3, -2, seed=s)
                  for s in range(batch)]
         a = jnp.asarray(np.stack([p[0] for p in pairs]))

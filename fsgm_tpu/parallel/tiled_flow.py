@@ -61,9 +61,23 @@ def _flow_level_tile(i1_t, i2_full, prior_flow_t, params: FlowParams,
     flow_ext = _exchange_row_halo(prior_flow_t, r, axis, t)
     base_u = jnp.rint(flow_ext[..., 0]).astype(jnp.int32)
     base_v = jnp.rint(flow_ext[..., 1]).astype(jnp.int32)
-    cost = cost_volume_flow(cen1, cen2, base_u, base_v,
-                            params.search_radius, params.invalid_cost,
-                            y_offset=y0, identity_base=is_coarsest)
+    if backend == "pallas":
+        # label-major build + butterfly transpose (see models/flow.py /
+        # transpose_pallas.py: the label-minor stack scalarizes into
+        # custom-call operands, ~32 ms/level at KITTI size).  The sweeps
+        # run at the padded 128-lane count; S is sliced back after.
+        from fsgm_tpu.ops.cost import cost_volume_flow_major
+        from fsgm_tpu.ops.pallas import transpose_pallas
+        cost = transpose_pallas.label_minor_from_major(
+            cost_volume_flow_major(
+                cen1, cen2, base_u, base_v, params.search_radius,
+                params.invalid_cost, y_offset=y0,
+                identity_base=is_coarsest,
+                nd_pad=transpose_pallas.T))[:, :i1_t.shape[1]]
+    else:
+        cost = cost_volume_flow(cen1, cen2, base_u, base_v,
+                                params.search_radius, params.invalid_cost,
+                                y_offset=y0, identity_base=is_coarsest)
 
     above2 = i1_ext[halo - 2: halo]
     below2 = i1_ext[halo + ht: halo + ht + 2]
@@ -93,6 +107,9 @@ def _flow_level_tile(i1_t, i2_full, prior_flow_t, params: FlowParams,
     else:
         s = agg.aggregate_paths(cost, i1_t, DIRS_8, params.p1, params.p2,
                                 params.adaptive_p2, neighbor_min=nm)
+
+    if backend == "pallas":
+        s = s[:, :, :ext_w * ext_w]     # drop the invalid-cost pad labels
 
     du, dv, l_int = mflow.wta_flow(s, params.search_radius)
     u = (base_u[r:-r] + du).astype(jnp.float32)

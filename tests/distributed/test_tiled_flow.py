@@ -21,8 +21,9 @@ def _mesh(frame, ty):
     return jax.make_mesh((frame, ty), ("frame", "ty"), devices=devs)
 
 
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
 @pytest.mark.parametrize("frame,ty", [(1, 4), (2, 2)])
-def test_tiled_flow_exact(frame, ty):
+def test_tiled_flow_exact(frame, ty, backend):
     img1, img2, _, _ = blockwise_flow_pair(48, 64, 3, seed=8)
     p = FlowParams(search_radius=3, levels=3, p1=7, p2=60)
     ref, ref_valid = flow_fsgm(jnp.asarray(img1), jnp.asarray(img2), p)
@@ -31,7 +32,8 @@ def test_tiled_flow_exact(frame, ty):
     i1 = jnp.asarray(np.stack([img1] * frame))
     i2 = jnp.asarray(np.stack([img2] * frame))
     dist = DistParams(tiles_y=ty, frame_shards=frame, tile_mode="exact")
-    out, valid = flow_fsgm_sharded(i1, i2, p, dist, _mesh(frame, ty))
+    out, valid = flow_fsgm_sharded(i1, i2, p, dist, _mesh(frame, ty),
+                                   backend=backend)
     out, valid = np.asarray(out), np.asarray(valid)
     for f in range(frame):
         np.testing.assert_array_equal(out[f], ref)
