@@ -190,9 +190,15 @@ def main() -> None:
     repeats = 6
 
     if cfg == "flow":
+        # fb_backward="half": backward pyramid at half resolution, full
+        # extraction at every backward level.  Validity within ~5 points
+        # of the full backward on synthetic GT (tools/fb_accuracy.py) at
+        # a quarter of the backward aggregation work; the round-1 "cheap"
+        # (skip subpixel/median at EVERY backward level) lost ~40 points
+        # of validity and is no longer the bench default.
         fparams = FlowParams(search_radius=4, levels=4, p1=7, p2=100,
                              fb_backward=os.environ.get("FSGM_BENCH_FB",
-                                                        "cheap"))
+                                                        "half"))
         pairs = [constant_flow_pair(h, w, 3, -2, seed=s)
                  for s in range(batch)]
         a = jnp.asarray(np.stack([p[0] for p in pairs]))

@@ -140,7 +140,10 @@ def fb_check(flow_fwd: jnp.ndarray, flow_bwd: jnp.ndarray, max_diff: float
     inb = (tx >= 0) & (tx < w) & (ty >= 0) & (ty < h)
     txc = jnp.clip(tx, 0, w - 1)
     tyc = jnp.clip(ty, 0, h - 1)
-    b = flow_bwd[tyc, txc]
+    # flattened linear-index take: measured 4.2 ms vs 5.8 ms for the 2D
+    # advanced-index lowering at KITTI size (tools/fbbench.py); values
+    # are identical so golden/flow.py needs no mirror
+    b = jnp.take(flow_bwd.reshape(h * w, 2), tyc * w + txc, axis=0)
     err = jnp.sqrt((flow_fwd[..., 0] + b[..., 0]) ** 2
                    + (flow_fwd[..., 1] + b[..., 1]) ** 2)
     return inb & (err <= max_diff)
@@ -150,15 +153,11 @@ def fb_check(flow_fwd: jnp.ndarray, flow_bwd: jnp.ndarray, max_diff: float
 # Per-level core and pyramid driver
 # --------------------------------------------------------------------------
 
-def _flow_one_level(img1, img2, prior_flow, params: FlowParams,
-                    backend: str, is_coarsest: bool = False,
-                    cen1=None, cen2=None):
-    base_u = jnp.rint(prior_flow[..., 0]).astype(jnp.int32)
-    base_v = jnp.rint(prior_flow[..., 1]).astype(jnp.int32)
-    if cen1 is None:
-        cen1 = census_transform(img1, params.census_window)
-    if cen2 is None:
-        cen2 = census_transform(img2, params.census_window)
+def _level_s(img1, cen1, cen2, base_u, base_v, params: FlowParams,
+             backend: str, is_coarsest: bool):
+    """Cost volume + 8-path 2D-label aggregation for one level: the batched
+    core shared by the single-direction driver and the fwd/bwd lockstep
+    pair (vmapping it folds both directions into one kernel-launch set)."""
     extw = params.window_extent
     nd = extw * extw
     if backend == "pallas":
@@ -188,6 +187,11 @@ def _flow_one_level(img1, img2, prior_flow, params: FlowParams,
         nm = agg.make_neighbor_min_2d(params.search_radius)
         s = agg.aggregate_paths(cost, img1, DIRS_8, params.p1, params.p2,
                                 params.adaptive_p2, neighbor_min=nm)
+    return s
+
+
+def _level_extract(s, base_u, base_v, params: FlowParams):
+    """WTA + optional subpixel refinement / median on an aggregated S."""
     du, dv, l_int = wta_flow(s, params.search_radius)
     u = (base_u + du).astype(jnp.float32)
     v = (base_v + dv).astype(jnp.float32)
@@ -200,6 +204,54 @@ def _flow_one_level(img1, img2, prior_flow, params: FlowParams,
         flow = jnp.stack([ext.median_filter_3x3(flow[..., 0]),
                           ext.median_filter_3x3(flow[..., 1])], axis=-1)
     return flow
+
+
+def _flow_one_level(img1, img2, prior_flow, params: FlowParams,
+                    backend: str, is_coarsest: bool = False,
+                    cen1=None, cen2=None):
+    base_u = jnp.rint(prior_flow[..., 0]).astype(jnp.int32)
+    base_v = jnp.rint(prior_flow[..., 1]).astype(jnp.int32)
+    if cen1 is None:
+        cen1 = census_transform(img1, params.census_window)
+    if cen2 is None:
+        cen2 = census_transform(img2, params.census_window)
+    s = _level_s(img1, cen1, cen2, base_u, base_v, params, backend,
+                 is_coarsest)
+    return _level_extract(s, base_u, base_v, params)
+
+
+def _flow_level_pair(i1, i2, c1, c2, prior_f, prior_b,
+                     params: FlowParams, bwd_params: FlowParams,
+                     backend: str, is_coarsest: bool):
+    """One pyramid level of the forward AND backward passes as a single
+    batch-2 vmap: the per-launch fixed cost of the cost-build / transpose /
+    sweep kernels dominates the coarse levels (measured ~4 ms/level at
+    1/64 area where the element work is negligible), so folding both
+    directions into one launch set makes the backward pyramid nearly free
+    above the finest level.  vmap adds a leading grid dimension to the
+    Pallas kernels; per-slice arithmetic is identical, so bit-exactness
+    vs the unbatched path (and golden) is preserved."""
+    bu_f = jnp.rint(prior_f[..., 0]).astype(jnp.int32)
+    bv_f = jnp.rint(prior_f[..., 1]).astype(jnp.int32)
+    bu_b = jnp.rint(prior_b[..., 0]).astype(jnp.int32)
+    bv_b = jnp.rint(prior_b[..., 1]).astype(jnp.int32)
+    guide = jnp.stack([i1, i2])
+    cen_a = jnp.stack([c1, c2])
+    cen_b = jnp.stack([c2, c1])
+    bu = jnp.stack([bu_f, bu_b])
+    bv = jnp.stack([bv_f, bv_b])
+    s2 = jax.vmap(
+        lambda g, ca, cb, u, v: _level_s(g, ca, cb, u, v, params, backend,
+                                         is_coarsest))(
+        guide, cen_a, cen_b, bu, bv)
+    if bwd_params == params:
+        # identical extraction both ways (full/half modes): batch it too
+        fl2 = jax.vmap(lambda s, u, v: _level_extract(s, u, v, params))(
+            s2, bu, bv)
+        return fl2[0], fl2[1]
+    flow_f = _level_extract(s2[0], bu_f, bv_f, params)
+    flow_b = _level_extract(s2[1], bu_b, bv_b, bwd_params)
+    return flow_f, flow_b
 
 
 def _fsgm_flow_oneway(pyr1, pyr2, cens1, cens2, params: FlowParams,
@@ -219,6 +271,48 @@ def _fsgm_flow_oneway(pyr1, pyr2, cens1, cens2, params: FlowParams,
     return flow
 
 
+def _fsgm_flow_both(pyr1, pyr2, cens1, cens2, params: FlowParams,
+                    bwd_final_params: FlowParams, backend: str,
+                    bwd_stop: int):
+    """Forward and backward coarse-to-fine passes in lockstep (see
+    _flow_level_pair).  The backward pass runs only at pyramid levels
+    >= bwd_stop (0 for full/cheap, 1 for half); below that the forward
+    pass continues alone.
+
+    Backward levels ABOVE the final one always extract with the full
+    `params` (subpixel + median): their output is the next level's prior,
+    and dropping either compounds through the 2x upsampling into
+    window-edge outlier populations that wreck fb_check (measured: the
+    round-1 "cheap" that skipped both at every backward level kept only
+    ~50% of the pixels of a constant-motion pair; keeping them at prior
+    levels restores full-mode validity).  Only the FINAL backward level
+    (lvl == bwd_stop), whose output feeds nothing but fb_check's rounded
+    1 px-tolerance lookup, uses `bwd_final_params`.
+
+    Returns (flow_fwd at full resolution, flow_bwd at level-bwd_stop
+    resolution)."""
+    shape_c = pyr1[-1].shape
+    flow_f = jnp.zeros(shape_c + (2,), dtype=jnp.float32)
+    flow_b = jnp.zeros(shape_c + (2,), dtype=jnp.float32)
+    for lvl in range(params.levels - 1, -1, -1):
+        i1, i2 = pyr1[lvl], pyr2[lvl]
+        if lvl < params.levels - 1:
+            flow_f = upsample_flow_2x(flow_f, i1.shape[0], i1.shape[1])
+            if lvl >= bwd_stop:
+                flow_b = upsample_flow_2x(flow_b, i1.shape[0], i1.shape[1])
+        is_c = lvl == params.levels - 1
+        if lvl >= bwd_stop:
+            bp = bwd_final_params if lvl == bwd_stop else params
+            flow_f, flow_b = _flow_level_pair(
+                i1, i2, cens1[lvl], cens2[lvl], flow_f, flow_b,
+                params, bp, backend, is_c)
+        else:
+            flow_f = _flow_one_level(i1, i2, flow_f, params, backend,
+                                     is_coarsest=is_c,
+                                     cen1=cens1[lvl], cen2=cens2[lvl])
+    return flow_f, flow_b
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def flow_fsgm(img1: jnp.ndarray, img2: jnp.ndarray, params: FlowParams,
               backend: str = "xla"):
@@ -231,28 +325,45 @@ def flow_fsgm(img1: jnp.ndarray, img2: jnp.ndarray, params: FlowParams,
     pyr2 = build_pyramid(img2, params.levels)
     cens1 = [census_transform(x, params.census_window) for x in pyr1]
     cens2 = [census_transform(x, params.census_window) for x in pyr2]
-    flow = _fsgm_flow_oneway(pyr1, pyr2, cens1, cens2, params, backend)
-    valid = jnp.ones(flow.shape[:2], dtype=bool)
-    if params.fb_check:
-        if params.fb_backward == "single":
-            # one backward SGM level at finest resolution: prior is the
-            # negated forward flow, so the (2w+1)^2 window independently
-            # re-verifies each pixel; no backward pyramid, no subpixel or
-            # median (fb_check rounds and tolerates 1 px).  Golden mirrors.
-            bwd_params = dataclasses.replace(
+    if not params.fb_check:
+        flow = _fsgm_flow_oneway(pyr1, pyr2, cens1, cens2, params, backend)
+        return flow, jnp.ones(flow.shape[:2], dtype=bool)
+    if params.fb_backward == "single":
+        # one backward SGM level at finest resolution: prior is the
+        # negated forward flow, so the (2w+1)^2 window independently
+        # re-verifies each pixel; no backward pyramid, no subpixel or
+        # median (fb_check rounds and tolerates 1 px).  Golden mirrors.
+        flow = _fsgm_flow_oneway(pyr1, pyr2, cens1, cens2, params, backend)
+        bwd_params = dataclasses.replace(
+            params, subpixel=False, median_filter=False)
+        flow_bwd = _flow_one_level(pyr2[0], pyr1[0], -flow, bwd_params,
+                                   backend, cen1=cens2[0], cen2=cens1[0])
+    elif params.fb_backward == "half":
+        # backward pyramid stops at level 1 (half resolution): the
+        # backward flow feeds only fb_check's rounded 1 px-tolerance
+        # lookup, so computing it on the half grid (quarter the
+        # aggregation work — the full-res backward level dominates the
+        # fwd+bwd cost) and 2x-upsampling costs ~0.5 px of lookup
+        # precision.  Subpixel/median are KEPT at every backward level:
+        # without subpixel the upsampled backward field only takes even
+        # integer values, a systematic ~1 px error sitting exactly at the
+        # fb tolerance.  Golden mirrors exactly (same integer pyramid +
+        # nearest upsample).
+        flow, bwd_half = _fsgm_flow_both(pyr1, pyr2, cens1, cens2,
+                                         params, params, backend,
+                                         bwd_stop=1)
+        flow_bwd = upsample_flow_2x(bwd_half, flow.shape[0], flow.shape[1])
+    else:
+        bwd_final = params
+        if params.fb_backward == "cheap":
+            # drop the sub-0.5 px subpixel refinement and median smoothing
+            # from the FINAL backward level only (its output feeds nothing
+            # but the rounded 1 px-tolerance fb_check); earlier backward
+            # levels keep both — they feed priors (see _fsgm_flow_both)
+            bwd_final = dataclasses.replace(
                 params, subpixel=False, median_filter=False)
-            flow_bwd = _flow_one_level(pyr2[0], pyr1[0], -flow, bwd_params,
-                                       backend, cen1=cens2[0],
-                                       cen2=cens1[0])
-        else:
-            bwd_params = params
-            if params.fb_backward == "cheap":
-                # backward flow feeds only fb_check (1 px tolerance): drop
-                # the sub-0.5 px subpixel refinement and median smoothing
-                # from every backward level (golden/flow.py mirrors)
-                bwd_params = dataclasses.replace(
-                    params, subpixel=False, median_filter=False)
-            flow_bwd = _fsgm_flow_oneway(pyr2, pyr1, cens2, cens1,
-                                         bwd_params, backend)
-        valid = fb_check(flow, flow_bwd, params.fb_max_diff)
+        flow, flow_bwd = _fsgm_flow_both(pyr1, pyr2, cens1, cens2,
+                                         params, bwd_final, backend,
+                                         bwd_stop=0)
+    valid = fb_check(flow, flow_bwd, params.fb_max_diff)
     return flow, valid

@@ -127,16 +127,23 @@ def _flow_level_tile(i1_t, i2_full, prior_flow_t, params: FlowParams,
 
 
 def _flow_oneway_tile(img1_t, img2_t, params: FlowParams, dist: DistParams,
-                      axis: str, t: int, backend: str = "xla"):
+                      axis: str, t: int, backend: str = "xla",
+                      stop_level: int = 0, final_params=None):
+    """Coarse-to-fine pass on row tiles down to `stop_level` (0 = full
+    resolution).  `final_params` (if given) replaces `params` for the
+    finest level run — the fb_backward="cheap" final-level skip; earlier
+    levels always extract fully since they feed priors (models/flow.py)."""
     pyr1 = mflow.build_pyramid(img1_t, params.levels)   # row tiles
     img2_full = _all_gather_rows(img2_t, axis)
     pyr2 = mflow.build_pyramid(img2_full, params.levels)  # full images
     flow = jnp.zeros(pyr1[-1].shape + (2,), dtype=jnp.float32)
-    for lvl in range(params.levels - 1, -1, -1):
+    for lvl in range(params.levels - 1, stop_level - 1, -1):
         i1 = pyr1[lvl]
         if lvl < params.levels - 1:
             flow = mflow.upsample_flow_2x(flow, i1.shape[0], i1.shape[1])
-        flow = _flow_level_tile(i1, pyr2[lvl], flow, params, dist, axis, t,
+        p_lvl = (final_params if lvl == stop_level
+                 and final_params is not None else params)
+        flow = _flow_level_tile(i1, pyr2[lvl], flow, p_lvl, dist, axis, t,
                                 is_coarsest=(lvl == params.levels - 1),
                                 backend=backend)
     return flow
@@ -144,11 +151,27 @@ def _flow_oneway_tile(img1_t, img2_t, params: FlowParams, dist: DistParams,
 
 def _flow_tile(img1_t, img2_t, params: FlowParams, dist: DistParams,
                axis: str, t: int, backend: str = "xla"):
+    import dataclasses
     flow = _flow_oneway_tile(img1_t, img2_t, params, dist, axis, t, backend)
     valid = jnp.ones(flow.shape[:2], dtype=bool)
     if params.fb_check:
-        bwd_t = _flow_oneway_tile(img2_t, img1_t, params, dist, axis, t,
-                                  backend)
+        # backward-pass variants mirror models/flow.py::flow_fsgm exactly
+        # (same per-mode level schedule and extraction flags)
+        nosub = dataclasses.replace(params, subpixel=False,
+                                    median_filter=False)
+        if params.fb_backward == "single":
+            img1_full = _all_gather_rows(img1_t, axis)
+            bwd_t = _flow_level_tile(img2_t, img1_full, -flow, nosub,
+                                     dist, axis, t, backend=backend)
+        elif params.fb_backward == "half":
+            bwd_half = _flow_oneway_tile(img2_t, img1_t, params, dist,
+                                         axis, t, backend, stop_level=1)
+            bwd_t = mflow.upsample_flow_2x(bwd_half, flow.shape[0],
+                                           flow.shape[1])
+        else:
+            fp = nosub if params.fb_backward == "cheap" else None
+            bwd_t = _flow_oneway_tile(img2_t, img1_t, params, dist, axis,
+                                      t, backend, final_params=fp)
         bwd_full = _all_gather_rows(bwd_t, axis)
         ht = flow.shape[0]
         my = jax.lax.axis_index(axis)

@@ -114,15 +114,23 @@ class FlowParams:
     fb_check: bool = True              # forward-backward consistency (finest level)
     fb_max_diff: float = 1.0
     # Backward-pass variant for fb_check (VERDICT r1 item 5; golden
-    # mirrors each mode exactly):
-    #   "full"   - backward pass identical to forward (round-1 behavior)
-    #   "cheap"  - backward flow feeds ONLY fb_check (1 px tolerance), so
-    #              its sub-0.5 px subpixel refinement and median smoothing
-    #              are skipped at every backward level
+    # mirrors each mode exactly).  Intermediate backward levels always
+    # keep subpixel + median — they feed the next level's prior, and
+    # skipping either compounds through the 2x upsampling into outliers
+    # that wreck the check (measured in models/flow.py).
+    #   "full"   - backward pass identical to forward
+    #   "cheap"  - the FINAL backward level (whose output feeds only
+    #              fb_check's rounded 1 px-tolerance lookup) skips the
+    #              sub-0.5 px subpixel refinement and median smoothing
     #   "single" - one backward SGM level at finest resolution with the
     #              negated forward flow as prior (no backward pyramid);
     #              the (2w+1)^2 search window re-verifies each pixel
-    #              independently, subpixel/median skipped as in "cheap"
+    #              independently; subpixel/median skipped
+    #   "half"   - backward pyramid stops at level 1 (half resolution,
+    #              quarter the aggregation work of "full") and the result
+    #              is 2x-upsampled for fb_check; full extraction at every
+    #              backward level (subpixel halves the upsample
+    #              quantization, which otherwise sits at the tolerance)
     fb_backward: str = "full"
     median_filter: bool = True
     invalid_cost: int = 255
@@ -131,8 +139,10 @@ class FlowParams:
         ch, cw = self.census_window
         if ch * cw - 1 > 63:
             raise ValueError("census window too large")
-        if self.fb_backward not in ("full", "cheap", "single"):
+        if self.fb_backward not in ("full", "cheap", "single", "half"):
             raise ValueError(f"unknown fb_backward: {self.fb_backward!r}")
+        if self.fb_backward == "half" and self.levels < 2:
+            raise ValueError("fb_backward='half' needs levels >= 2")
         num_labels = (2 * self.search_radius + 1) ** 2
         cmax = min(ch * cw - 1, self.invalid_cost)
         if 8 * (cmax + self.p2) >= 1 << 16:

@@ -269,14 +269,35 @@ def fsgm_flow(img1: np.ndarray, img2: np.ndarray, params: FlowParams,
             bwd_params = dataclasses.replace(
                 params, subpixel=False, median_filter=False)
             flow_bwd = _flow_one_level(img2, img1, -flow, bwd_params)
+        elif params.fb_backward == "half":
+            # mirror fsgm_tpu/models/flow.py: backward pyramid stops at
+            # level 1 (half resolution) with FULL extraction at every
+            # backward level, result 2x-upsampled for the rounded
+            # fb_check lookup
+            bwd_params = dataclasses.replace(
+                params, fb_check=False, levels=params.levels - 1)
+            bwd_half, _ = fsgm_flow(downsample2x(img2), downsample2x(img1),
+                                    bwd_params)
+            flow_bwd = upsample_flow_2x(bwd_half, flow.shape[0],
+                                        flow.shape[1])
         else:
-            bwd_params = dataclasses.replace(params, fb_check=False)
+            # mirror fsgm_tpu/models/flow.py::_fsgm_flow_both: backward
+            # pyramid with full extraction at prior-feeding levels; in
+            # "cheap" mode only the final level skips subpixel/median
+            final_params = params
             if params.fb_backward == "cheap":
-                # backward pass feeds only fb_check: subpixel + median are
-                # dropped from it
-                bwd_params = dataclasses.replace(
-                    bwd_params, subpixel=False, median_filter=False)
-            flow_bwd, _ = fsgm_flow(img2, img1, bwd_params)
+                final_params = dataclasses.replace(
+                    params, subpixel=False, median_filter=False)
+            bpyr1 = build_pyramid(img2, params.levels)
+            bpyr2 = build_pyramid(img1, params.levels)
+            flow_bwd = np.zeros((*bpyr1[-1].shape, 2), dtype=np.float64)
+            for lvl in range(params.levels - 1, -1, -1):
+                i1, i2 = bpyr1[lvl], bpyr2[lvl]
+                if lvl < params.levels - 1:
+                    flow_bwd = upsample_flow_2x(flow_bwd, i1.shape[0],
+                                                i1.shape[1])
+                p_lvl = final_params if lvl == 0 else params
+                flow_bwd = _flow_one_level(i1, i2, flow_bwd, p_lvl)
         valid = fb_check(flow, flow_bwd, params.fb_max_diff)
     if return_intermediates:
         return flow, valid, dict(per_level=per_level)

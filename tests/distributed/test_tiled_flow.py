@@ -40,6 +40,22 @@ def test_tiled_flow_exact(frame, ty, backend):
         np.testing.assert_array_equal(valid[f], ref_valid)
 
 
+@pytest.mark.parametrize("mode", ["cheap", "single", "half"])
+def test_tiled_flow_backward_modes_exact(mode):
+    # the fb_backward variants must follow the same per-mode level
+    # schedule as models/flow.py: tiled == single-device, bit-exact
+    img1, img2, _, _ = blockwise_flow_pair(48, 64, 3, seed=8)
+    p = FlowParams(search_radius=3, levels=3, p1=7, p2=60,
+                   fb_backward=mode)
+    ref, ref_valid = flow_fsgm(jnp.asarray(img1), jnp.asarray(img2), p)
+    ref, ref_valid = np.asarray(ref), np.asarray(ref_valid)
+    dist = DistParams(tiles_y=4, tile_mode="exact")
+    out, valid = flow_fsgm_sharded(
+        img1[None], img2[None], p, dist, _mesh(1, 4))
+    np.testing.assert_array_equal(np.asarray(out)[0], ref)
+    np.testing.assert_array_equal(np.asarray(valid)[0], ref_valid)
+
+
 def test_tiled_flow_fast_mode_close():
     img1, img2, fgt = constant_flow_pair(48, 64, 2, -1, seed=2)
     p = FlowParams(search_radius=3, levels=3, p1=7, p2=60)

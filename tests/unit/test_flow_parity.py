@@ -66,7 +66,7 @@ def test_flow_full_close_to_golden(pair, backend):
 
 
 @pytest.mark.parametrize("backend", ["xla", "pallas"])
-@pytest.mark.parametrize("mode", ["cheap", "single"])
+@pytest.mark.parametrize("mode", ["cheap", "single", "half"])
 def test_flow_backward_mode_parity(pair, backend, mode):
     # fb_backward variants change only the backward pass feeding fb_check;
     # golden mirrors each mode, so parity stays exact-valid / tol-values

@@ -212,11 +212,13 @@ def main() -> None:
 def _compose(args, params, loop, iters, i1, i2, prior, be):
     """Cumulative-prefix timings of the composed L0 pipeline (real warp,
     salted census so nothing hoists out of the in-jit loop).  Pinpoints
-    where composition overhead lands vs. the isolated stage times."""
+    where composition overhead lands vs. the isolated stage times.  For
+    the pallas backend this follows the production path: label-major cost
+    build -> butterfly transpose -> 128-lane sweeps -> sliced extraction."""
     import jax.numpy as jnp
     from fsgm_tpu.params import DIRS_8
     from fsgm_tpu.ops.census import census_transform
-    from fsgm_tpu.ops.cost import cost_volume_flow
+    from fsgm_tpu.ops.cost import cost_volume_flow, cost_volume_flow_major
     from fsgm_tpu.ops import aggregate as agg
     from fsgm_tpu.ops import extract as ext
     from fsgm_tpu.models import flow as mflow
@@ -225,23 +227,39 @@ def _compose(args, params, loop, iters, i1, i2, prior, be):
     base_v = jnp.rint(prior[..., 1]).astype(jnp.int32)
     s_max = 8 * (params.invalid_cost + params.p2)
     extw = params.window_extent
+    nd = extw * extw
 
     def upto(stage):
         def body(s8, a, b):
             c1 = census_transform(a + s8, params.census_window)
             c2 = census_transform(b + s8, params.census_window)
-            cost = cost_volume_flow(c1, c2, base_u, base_v,
-                                    params.search_radius,
-                                    params.invalid_cost,
-                                    identity_base=False)
-            if stage == "cost":
-                return jnp.sum(cost, dtype=jnp.float32)
             if be == "pallas":
-                from fsgm_tpu.ops.pallas import aggregate_pallas as pagg
-                s = pagg.aggregate_paths(cost, a, DIRS_8, params.p1,
+                from fsgm_tpu.ops.pallas import (aggregate_pallas as pagg,
+                                                 transpose_pallas as ptr)
+                cm = cost_volume_flow_major(c1, c2, base_u, base_v,
+                                            params.search_radius,
+                                            params.invalid_cost,
+                                            identity_base=False,
+                                            nd_pad=ptr.T)
+                if stage == "cost":
+                    return jnp.sum(cm, dtype=jnp.float32)
+                cost = ptr.label_minor_from_major(cm)
+                if stage == "transpose":
+                    return jnp.sum(cost, dtype=jnp.float32)
+                wp = cost.shape[1]
+                ap = a if wp == a.shape[1] else jnp.pad(
+                    a, ((0, 0), (0, wp - a.shape[1])), mode="edge")
+                s = pagg.aggregate_paths(cost, ap, DIRS_8, params.p1,
                                          params.p2, params.adaptive_p2,
                                          label_ext=extw, s_max=s_max)
+                s = s[:, :a.shape[1], :nd]
             else:
+                cost = cost_volume_flow(c1, c2, base_u, base_v,
+                                        params.search_radius,
+                                        params.invalid_cost,
+                                        identity_base=False)
+                if stage in ("cost", "transpose"):
+                    return jnp.sum(cost, dtype=jnp.float32)
                 nm = agg.make_neighbor_min_2d(params.search_radius)
                 s = agg.aggregate_paths(cost, a, DIRS_8, params.p1,
                                         params.p2, params.adaptive_p2,
@@ -263,7 +281,7 @@ def _compose(args, params, loop, iters, i1, i2, prior, be):
         return body
 
     prev = 0.0
-    for stage in ("cost", "agg", "wta", "subpixel", "median"):
+    for stage in ("cost", "transpose", "agg", "wta", "subpixel", "median"):
         ms = _timeit(loop(upto(stage)), (i1, i2), iters)
         print(f"compose upto {stage:10s} {ms:8.2f} ms  (+{ms - prev:6.2f})")
         prev = ms
