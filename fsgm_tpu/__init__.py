@@ -21,7 +21,7 @@ from fsgm_tpu.params import (SGMParams, FlowParams, DistParams, DIRS_8,
 __version__ = "0.1.0"
 __all__ = [
     "SGMParams", "FlowParams", "DistParams", "DIRS_8", "DIRS_16",
-    "INVALID", "load_preset", "stereo_sgm", "flow_fsgm",
+    "INVALID", "load_preset", "stereo_sgm", "flow_fsgm", "flow_sequence",
 ]
 
 
@@ -34,4 +34,7 @@ def __getattr__(name):
     if name == "flow_fsgm":
         from fsgm_tpu.models.flow import flow_fsgm
         return flow_fsgm
+    if name == "flow_sequence":
+        from fsgm_tpu.models.flow import flow_sequence
+        return flow_sequence
     raise AttributeError(name)

@@ -120,6 +120,49 @@ def cmd_flow(args) -> int:
     return 0
 
 
+def cmd_video(args) -> int:
+    """fSGM over a frame sequence with temporal priors: pair 0 runs the
+    full pyramid, later pairs seed their coarsest level with the previous
+    pair's field (models/flow.py::flow_sequence), optionally through a
+    shallower --track-levels pyramid."""
+    import jax.numpy as jnp
+    from fsgm_tpu.params import FlowParams
+    from fsgm_tpu.models.flow import flow_sequence
+    from fsgm_tpu.io.images import load_gray
+    from fsgm_tpu.io import kitti
+
+    p = _params_from_args(args, FlowParams)
+    tp = (dataclasses.replace(p, levels=args.track_levels)
+          if args.track_levels else None)
+    frame_paths = [ln.strip() for ln in
+                   Path(args.list).read_text().splitlines() if ln.strip()]
+    if len(frame_paths) < 2:
+        print("need at least 2 frames", file=sys.stderr)
+        return 2
+    frames = np.stack([load_gray(f) for f in frame_paths])
+    outdir = Path(args.outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    t0 = time.perf_counter()
+    flows, valids = flow_sequence(jnp.asarray(frames), p,
+                                  _backend(args.backend), track_params=tp)
+    flows, valids = np.asarray(flows), np.asarray(valids)
+    dt = time.perf_counter() - t0
+    for t in range(flows.shape[0]):
+        name = Path(frame_paths[t]).stem
+        fl = np.where(valids[t][..., None], flows[t], 0)
+        if args.format == "flo":
+            kitti.write_flo(outdir / f"{name}.flo", fl)
+        else:
+            kitti.write_flow_png(outdir / f"{name}.png", fl, valids[t])
+        print(json.dumps({"cmd": "video", "pair": t,
+                          "out": str(outdir / name),
+                          "valid_frac": round(float(valids[t].mean()), 4)}))
+    print(json.dumps({"cmd": "video", "pairs": int(flows.shape[0]),
+                      "wall_s": round(dt, 4),
+                      "ms_per_pair": round(1e3 * dt / flows.shape[0], 2)}))
+    return 0
+
+
 def cmd_eval(args) -> int:
     from fsgm_tpu.io import kitti
     from fsgm_tpu.eval.metrics import d1_all, fl_all
@@ -396,6 +439,22 @@ def main(argv=None) -> int:
     fp.add_argument("--backend", default="auto",
                     choices=["auto", "xla", "pallas"])
     fp.set_defaults(fn=cmd_flow)
+
+    vp = sub.add_parser("video",
+                        help="fSGM over a frame sequence (temporal prior)")
+    vp.add_argument("list", help="file of frame paths, one per line")
+    vp.add_argument("-o", "--outdir", required=True)
+    vp.add_argument("--format", default="png", choices=["png", "flo"])
+    vp.add_argument("--preset")
+    vp.add_argument("--search-radius", dest="search_radius", type=int)
+    vp.add_argument("--levels", type=int)
+    vp.add_argument("--track-levels", dest="track_levels", type=int,
+                    default=0, help="pyramid depth for tracked pairs "
+                    "(0 = same as --levels)")
+    vp.add_argument("--p1", type=int); vp.add_argument("--p2", type=int)
+    vp.add_argument("--backend", default="auto",
+                    choices=["auto", "xla", "pallas"])
+    vp.set_defaults(fn=cmd_video)
 
     ep = sub.add_parser("eval", help="D1-all / Fl-all vs ground truth")
     ep.add_argument("task", choices=["stereo", "flow"])

@@ -109,6 +109,26 @@ def constant_flow_pair(h: int, w: int, u: int, v: int, seed: int = 0):
     return img1.copy(), img2.copy(), flow
 
 
+def constant_flow_sequence(h: int, w: int, u: int, v: int, n: int,
+                           seed: int = 0):
+    """N frames sliding over one texture: frame t is the window at offset
+    t*(u, v), so every consecutive pair has constant flow (u, v).  Returns
+    (frames (N, h, w) uint8, flow_gt (h, w, 2)) — the temporal-prior
+    fixture for flow_sequence."""
+    rng = np.random.default_rng(seed)
+    big = _multiscale_texture(rng, h + (n - 1) * abs(v) + 4,
+                              w + (n - 1) * abs(u) + 4)
+    oy = 2 + (n - 1) * max(v, 0)
+    ox = 2 + (n - 1) * max(u, 0)
+    frames = np.stack([
+        big[oy - t * v: oy - t * v + h, ox - t * u: ox - t * u + w]
+        for t in range(n)])
+    flow = np.zeros((h, w, 2), dtype=np.float64)
+    flow[..., 0] = u
+    flow[..., 1] = v
+    return frames.copy(), flow
+
+
 def blockwise_flow_pair(h: int, w: int, max_mag: int, seed: int = 0):
     """Piecewise-constant flow: a moving rectangle over a static background.
 

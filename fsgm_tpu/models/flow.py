@@ -70,6 +70,19 @@ def upsample_flow_2x(flow: jnp.ndarray, out_h: int, out_w: int
     return up[:out_h, :out_w]
 
 
+def downsample_flow_2x(flow: jnp.ndarray) -> jnp.ndarray:
+    """2x2 box mean of (H, W, 2), values /2 (flow scales with resolution);
+    floor dims — the inverse of upsample_flow_2x for the temporal-prior
+    pyramid seeding (golden/flow.py mirrors)."""
+    h, w = flow.shape[:2]
+    h2, w2 = h // 2, w // 2
+    a = flow[: 2 * h2: 2, : 2 * w2: 2]
+    b = flow[: 2 * h2: 2, 1: 2 * w2: 2]
+    c = flow[1: 2 * h2: 2, : 2 * w2: 2]
+    d = flow[1: 2 * h2: 2, 1: 2 * w2: 2]
+    return (a + b + c + d) * 0.125
+
+
 # --------------------------------------------------------------------------
 # 2D-label extraction
 # --------------------------------------------------------------------------
@@ -255,25 +268,31 @@ def _flow_level_pair(i1, i2, c1, c2, prior_f, prior_b,
 
 
 def _fsgm_flow_oneway(pyr1, pyr2, cens1, cens2, params: FlowParams,
-                      backend: str):
+                      backend: str, init_flow=None):
     """Coarse-to-fine pass over precomputed pyramids + census descriptors
     (shared between the forward and backward passes — the backward pass
     uses the same two pyramids with roles swapped, so pyramid/census work
-    is computed once per image, not once per direction)."""
-    flow = jnp.zeros(pyr1[-1].shape + (2,), dtype=jnp.float32)
+    is computed once per image, not once per direction).
+
+    `init_flow` (coarsest-level scale) seeds the pyramid instead of zeros
+    (temporal prior for sequence tracking); the coarsest level then runs
+    the real warp path instead of the identity-base fast path."""
+    flow = (jnp.zeros(pyr1[-1].shape + (2,), dtype=jnp.float32)
+            if init_flow is None else init_flow)
     for lvl in range(params.levels - 1, -1, -1):
         i1, i2 = pyr1[lvl], pyr2[lvl]
         if lvl < params.levels - 1:
             flow = upsample_flow_2x(flow, i1.shape[0], i1.shape[1])
+        is_c = lvl == params.levels - 1 and init_flow is None
         flow = _flow_one_level(i1, i2, flow, params, backend,
-                               is_coarsest=(lvl == params.levels - 1),
+                               is_coarsest=is_c,
                                cen1=cens1[lvl], cen2=cens2[lvl])
     return flow
 
 
 def _fsgm_flow_both(pyr1, pyr2, cens1, cens2, params: FlowParams,
                     bwd_final_params: FlowParams, backend: str,
-                    bwd_stop: int):
+                    bwd_stop: int, init_flow=None):
     """Forward and backward coarse-to-fine passes in lockstep (see
     _flow_level_pair).  The backward pass runs only at pyramid levels
     >= bwd_stop (0 for full/cheap, 1 for half); below that the forward
@@ -290,17 +309,21 @@ def _fsgm_flow_both(pyr1, pyr2, cens1, cens2, params: FlowParams,
     1 px-tolerance lookup, uses `bwd_final_params`.
 
     Returns (flow_fwd at full resolution, flow_bwd at level-bwd_stop
-    resolution)."""
+    resolution).  `init_flow` (coarsest scale) seeds the forward pyramid
+    and its negation the backward pyramid (temporal prior)."""
     shape_c = pyr1[-1].shape
-    flow_f = jnp.zeros(shape_c + (2,), dtype=jnp.float32)
-    flow_b = jnp.zeros(shape_c + (2,), dtype=jnp.float32)
+    if init_flow is None:
+        flow_f = jnp.zeros(shape_c + (2,), dtype=jnp.float32)
+        flow_b = jnp.zeros(shape_c + (2,), dtype=jnp.float32)
+    else:
+        flow_f, flow_b = init_flow, -init_flow
     for lvl in range(params.levels - 1, -1, -1):
         i1, i2 = pyr1[lvl], pyr2[lvl]
         if lvl < params.levels - 1:
             flow_f = upsample_flow_2x(flow_f, i1.shape[0], i1.shape[1])
             if lvl >= bwd_stop:
                 flow_b = upsample_flow_2x(flow_b, i1.shape[0], i1.shape[1])
-        is_c = lvl == params.levels - 1
+        is_c = lvl == params.levels - 1 and init_flow is None
         if lvl >= bwd_stop:
             bp = bwd_final_params if lvl == bwd_stop else params
             flow_f, flow_b = _flow_level_pair(
@@ -315,25 +338,38 @@ def _fsgm_flow_both(pyr1, pyr2, cens1, cens2, params: FlowParams,
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def flow_fsgm(img1: jnp.ndarray, img2: jnp.ndarray, params: FlowParams,
-              backend: str = "xla"):
+              backend: str = "xla", prior_flow=None):
     """Full fSGM: (H, W) uint8 pair -> (flow (H, W, 2) float32, valid
     (H, W) bool).
 
     `valid` is False where the forward-backward check failed; flow values
-    at invalid pixels are the unchecked forward estimates (callers mask)."""
+    at invalid pixels are the unchecked forward estimates (callers mask).
+
+    `prior_flow` (optional full-resolution (H, W, 2)) seeds the coarsest
+    pyramid level — the temporal prior for frame sequences (flow between
+    consecutive video frames is piecewise-smooth in time, so the previous
+    pair's field lets a shallower pyramid track motion far beyond its own
+    search range; see flow_sequence)."""
     pyr1 = build_pyramid(img1, params.levels)
     pyr2 = build_pyramid(img2, params.levels)
     cens1 = [census_transform(x, params.census_window) for x in pyr1]
     cens2 = [census_transform(x, params.census_window) for x in pyr2]
+    init = None
+    if prior_flow is not None:
+        init = prior_flow
+        for _ in range(params.levels - 1):
+            init = downsample_flow_2x(init)
     if not params.fb_check:
-        flow = _fsgm_flow_oneway(pyr1, pyr2, cens1, cens2, params, backend)
+        flow = _fsgm_flow_oneway(pyr1, pyr2, cens1, cens2, params, backend,
+                                 init_flow=init)
         return flow, jnp.ones(flow.shape[:2], dtype=bool)
     if params.fb_backward == "single":
         # one backward SGM level at finest resolution: prior is the
         # negated forward flow, so the (2w+1)^2 window independently
         # re-verifies each pixel; no backward pyramid, no subpixel or
         # median (fb_check rounds and tolerates 1 px).  Golden mirrors.
-        flow = _fsgm_flow_oneway(pyr1, pyr2, cens1, cens2, params, backend)
+        flow = _fsgm_flow_oneway(pyr1, pyr2, cens1, cens2, params, backend,
+                                 init_flow=init)
         bwd_params = dataclasses.replace(
             params, subpixel=False, median_filter=False)
         flow_bwd = _flow_one_level(pyr2[0], pyr1[0], -flow, bwd_params,
@@ -351,7 +387,7 @@ def flow_fsgm(img1: jnp.ndarray, img2: jnp.ndarray, params: FlowParams,
         # nearest upsample).
         flow, bwd_half = _fsgm_flow_both(pyr1, pyr2, cens1, cens2,
                                          params, params, backend,
-                                         bwd_stop=1)
+                                         bwd_stop=1, init_flow=init)
         flow_bwd = upsample_flow_2x(bwd_half, flow.shape[0], flow.shape[1])
     else:
         bwd_final = params
@@ -364,6 +400,35 @@ def flow_fsgm(img1: jnp.ndarray, img2: jnp.ndarray, params: FlowParams,
                 params, subpixel=False, median_filter=False)
         flow, flow_bwd = _fsgm_flow_both(pyr1, pyr2, cens1, cens2,
                                          params, bwd_final, backend,
-                                         bwd_stop=0)
+                                         bwd_stop=0, init_flow=init)
     valid = fb_check(flow, flow_bwd, params.fb_max_diff)
     return flow, valid
+
+
+def flow_sequence(frames, params: FlowParams, backend: str = "xla",
+                  track_params: FlowParams | None = None):
+    """fSGM over a frame sequence with temporal priors.
+
+    frames: (N, H, W) uint8 -> (flows (N-1, H, W, 2) f32,
+    valids (N-1, H, W) bool), flows[t] = motion frame t -> t+1.
+
+    Pair 0 runs the full `params` pyramid from scratch; every later pair
+    seeds its coarsest level with the previous pair's field (and its
+    negation for the backward pass), so `track_params` can use a shallower
+    pyramid (fewer levels) while tracking motion far beyond its own search
+    range — the temporal analog of the coarse-to-fine trick, and the
+    reason fSGM-style methods suit driver-assistance video.  Two jit
+    signatures total (first pair, tracked pairs), regardless of N."""
+    tp = track_params if track_params is not None else params
+    flows, valids = [], []
+    prev = None
+    for t in range(frames.shape[0] - 1):
+        if prev is None:
+            f, v = flow_fsgm(frames[t], frames[t + 1], params, backend)
+        else:
+            f, v = flow_fsgm(frames[t], frames[t + 1], tp, backend,
+                             prior_flow=prev)
+        flows.append(f)
+        valids.append(v)
+        prev = f
+    return jnp.stack(flows), jnp.stack(valids)

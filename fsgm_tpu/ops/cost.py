@@ -92,7 +92,12 @@ def _flow_cost_planes(cen1: jnp.ndarray, cen2: jnp.ndarray,
     else:
         ok_w = (sy >= 0) & (sy < h2) & (sx >= 0) & (sx < w) & \
             (yy >= 0) & (yy < h2)
-        cen2w = cen2[jnp.clip(sy, 0, h2 - 1), jnp.clip(sx, 0, w - 1)]
+        # flattened linear-index take: measurably faster than the 2D
+        # advanced-index lowering for (H, W) field gathers on TPU
+        # (tools/fbbench.py: 4.2 vs 5.8 ms at KITTI size); same values
+        idx = (jnp.clip(sy, 0, h2 - 1) * w + jnp.clip(sx, 0, w - 1))
+        cen2w = jnp.take(cen2.reshape((h2 * w,) + cen2.shape[2:]), idx,
+                         axis=0)
     if halo < radius:                # extend with invalid rows
         e = radius - halo
         zrow = jnp.zeros((e,) + cen2w.shape[1:], cen2w.dtype)

@@ -53,6 +53,18 @@ def build_pyramid(img: np.ndarray, levels: int):
     return pyr
 
 
+def downsample_flow_2x(flow: np.ndarray) -> np.ndarray:
+    """2x2 box mean of (H, W, 2), values /2; floor dims (mirror of
+    fsgm_tpu/models/flow.py::downsample_flow_2x, temporal-prior seeding)."""
+    h, w = flow.shape[:2]
+    h2, w2 = h // 2, w // 2
+    a = flow[: 2 * h2: 2, : 2 * w2: 2]
+    b = flow[: 2 * h2: 2, 1: 2 * w2: 2]
+    c = flow[1: 2 * h2: 2, : 2 * w2: 2]
+    d = flow[1: 2 * h2: 2, 1: 2 * w2: 2]
+    return (a + b + c + d) * 0.125
+
+
 def upsample_flow_2x(flow: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Nearest-neighbor 2x upsample of a (H, W, 2) flow field; values x2.
 
@@ -241,15 +253,22 @@ def fb_check(flow_fwd: np.ndarray, flow_bwd: np.ndarray, max_diff: float
 
 
 def fsgm_flow(img1: np.ndarray, img2: np.ndarray, params: FlowParams,
-              return_intermediates: bool = False):
+              return_intermediates: bool = False, prior_flow=None):
     """Full golden fSGM: coarse-to-fine 2D-label SGM (SURVEY.md §3.2).
 
     Returns (flow (H, W, 2) float64, valid (H, W) bool).  Validity is an
     explicit plane (mirroring the KITTI encoding's separate validity
-    channel), never an in-band flow value."""
+    channel), never an in-band flow value.  `prior_flow` mirrors the
+    temporal-prior seeding of fsgm_tpu/models/flow.py::flow_fsgm."""
     pyr1 = build_pyramid(img1, params.levels)
     pyr2 = build_pyramid(img2, params.levels)
-    flow = np.zeros((*pyr1[-1].shape, 2), dtype=np.float64)
+    init = None
+    if prior_flow is not None:
+        init = np.asarray(prior_flow, dtype=np.float64)
+        for _ in range(params.levels - 1):
+            init = downsample_flow_2x(init)
+    flow = (np.zeros((*pyr1[-1].shape, 2), dtype=np.float64)
+            if init is None else init)
     per_level = []
     for lvl in range(params.levels - 1, -1, -1):
         i1, i2 = pyr1[lvl], pyr2[lvl]
@@ -276,8 +295,11 @@ def fsgm_flow(img1: np.ndarray, img2: np.ndarray, params: FlowParams,
             # fb_check lookup
             bwd_params = dataclasses.replace(
                 params, fb_check=False, levels=params.levels - 1)
+            bwd_prior = (None if init is None
+                         else -downsample_flow_2x(
+                             np.asarray(prior_flow, dtype=np.float64)))
             bwd_half, _ = fsgm_flow(downsample2x(img2), downsample2x(img1),
-                                    bwd_params)
+                                    bwd_params, prior_flow=bwd_prior)
             flow_bwd = upsample_flow_2x(bwd_half, flow.shape[0],
                                         flow.shape[1])
         else:
@@ -290,7 +312,8 @@ def fsgm_flow(img1: np.ndarray, img2: np.ndarray, params: FlowParams,
                     params, subpixel=False, median_filter=False)
             bpyr1 = build_pyramid(img2, params.levels)
             bpyr2 = build_pyramid(img1, params.levels)
-            flow_bwd = np.zeros((*bpyr1[-1].shape, 2), dtype=np.float64)
+            flow_bwd = (np.zeros((*bpyr1[-1].shape, 2), dtype=np.float64)
+                        if init is None else -init)
             for lvl in range(params.levels - 1, -1, -1):
                 i1, i2 = bpyr1[lvl], bpyr2[lvl]
                 if lvl < params.levels - 1:
@@ -302,3 +325,20 @@ def fsgm_flow(img1: np.ndarray, img2: np.ndarray, params: FlowParams,
     if return_intermediates:
         return flow, valid, dict(per_level=per_level)
     return flow, valid
+
+
+def flow_sequence(frames, params: FlowParams, track_params=None):
+    """Golden mirror of fsgm_tpu/models/flow.py::flow_sequence: pair 0
+    from scratch, later pairs seeded with the previous pair's field."""
+    tp = track_params if track_params is not None else params
+    flows, valids = [], []
+    prev = None
+    for t in range(frames.shape[0] - 1):
+        if prev is None:
+            f, v = fsgm_flow(frames[t], frames[t + 1], params)
+        else:
+            f, v = fsgm_flow(frames[t], frames[t + 1], tp, prior_flow=prev)
+        flows.append(f)
+        valids.append(v)
+        prev = f
+    return np.stack(flows), np.stack(valids)

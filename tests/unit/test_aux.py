@@ -81,6 +81,38 @@ def test_batch_fault_inject_and_resume(tmp_path):
     assert all((tmp_path / f"d{i}.png").exists() for i in range(3))
 
 
+def test_cli_video_sequence(tmp_path):
+    """End-to-end `cli video`: 3 frames -> 2 temporally-seeded flow pairs
+    written as KITTI PNGs, per-pair + summary JSON records emitted."""
+    from fsgm_tpu.io.synthetic import constant_flow_sequence
+    from fsgm_tpu.io.images import save_gray
+    from fsgm_tpu.io import kitti
+    repo = Path(__file__).resolve().parents[2]
+    frames, _ = constant_flow_sequence(32, 48, 2, -1, 3, seed=4)
+    paths = []
+    for i, fr in enumerate(frames):
+        fp = tmp_path / f"f{i}.png"
+        save_gray(fp, fr)
+        paths.append(str(fp))
+    lst = tmp_path / "frames.txt"
+    lst.write_text("\n".join(paths))
+    env = dict(os.environ, PYTHONPATH=str(repo), JAX_PLATFORMS="cpu")
+    pre = ("import jax; jax.config.update('jax_platforms','cpu');"
+           "from fsgm_tpu.cli.main import main; import sys;"
+           "sys.exit(main(sys.argv[1:]))")
+    cmd = [sys.executable, "-c", pre, "video", str(lst),
+           "-o", str(tmp_path / "out"), "--search-radius", "2",
+           "--levels", "2", "--track-levels", "2", "--backend", "xla"]
+    r = subprocess.run(cmd, env=env, cwd=repo, capture_output=True,
+                       text=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+    recs = [json.loads(ln) for ln in r.stdout.strip().splitlines()]
+    assert recs[-1]["pairs"] == 2
+    for i in range(2):
+        flo, valid = kitti.read_flow_png(tmp_path / "out" / f"f{i}.png")
+        assert flo.shape == (32, 48, 2) and valid.any()
+
+
 def test_metrics_d1():
     gt = np.full((10, 10), 20.0)
     pred = gt.copy()

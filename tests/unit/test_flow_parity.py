@@ -132,3 +132,44 @@ def test_flow_blockwise_motion():
     valid = valid & mask
     epe = np.sqrt(((out - flow_gt) ** 2).sum(-1))[valid]
     assert np.mean(epe <= 1.0) > 0.8, f"EPE too high: {epe.mean()}"
+
+
+# ---------------------------------------------------------------------------
+# Temporal-prior sequence mode
+# ---------------------------------------------------------------------------
+
+def test_flow_sequence_parity():
+    # 3 frames: pair 0 from scratch, pair 1 seeded with pair 0's field;
+    # golden mirrors the prior plumbing (downsample chain + negated
+    # backward seed), so validity is exact and values are within tol
+    from fsgm_tpu.io.synthetic import constant_flow_sequence
+    frames, _ = constant_flow_sequence(48, 64, 2, -1, 3, seed=5)
+    p = FlowParams(search_radius=3, levels=3, p1=7, p2=60)
+    gold, gold_valid = gf.flow_sequence(frames, p)
+    ours, valid = jflow.flow_sequence(jnp.asarray(frames), p, "xla")
+    ours, valid = np.asarray(ours), np.asarray(valid)
+    np.testing.assert_array_equal(valid, gold_valid)
+    np.testing.assert_allclose(ours[gold_valid], gold[gold_valid],
+                               atol=1e-3)
+
+
+def test_flow_sequence_tracks_beyond_search_range():
+    # per-pair motion (12, 0); a 2-level radius-3 pyramid reaches only
+    # +-9 px from scratch but tracks fine when seeded with the previous
+    # pair's field — the point of the temporal prior
+    from fsgm_tpu.io.synthetic import constant_flow_sequence
+    frames, _ = constant_flow_sequence(48, 96, 12, 0, 3, seed=6)
+    full = FlowParams(search_radius=3, levels=4, p1=7, p2=60,
+                      fb_check=False)
+    track = FlowParams(search_radius=3, levels=2, p1=7, p2=60,
+                       fb_check=False)
+    flows, _ = jflow.flow_sequence(jnp.asarray(frames), full, "xla",
+                                   track_params=track)
+    err_tracked = np.abs(np.asarray(flows)[1][8:-8, 16:-16, 0] - 12)
+    assert np.mean(err_tracked <= 1.0) > 0.9, err_tracked.mean()
+
+    # control: same shallow pyramid without the prior cannot reach 12 px
+    blank, _ = jflow.flow_fsgm(jnp.asarray(frames[1]),
+                               jnp.asarray(frames[2]), track, "xla")
+    err_blank = np.abs(np.asarray(blank)[8:-8, 16:-16, 0] - 12)
+    assert np.mean(err_blank <= 1.0) < 0.5, err_blank.mean()
