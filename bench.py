@@ -60,7 +60,9 @@ def _timed(run, args, batch, repeats, salt_dtype):
     return float(np.median(times)) / batch, compile_s
 
 
-def _stage_roofline(params, h, w, d, backend, iters=8) -> None:
+def _stage_roofline(params, h, w, d, backend, iters=32) -> None:
+    # iters amortizes the ~29 ms relay dispatch floor (at 8 iters it
+    # inflated every stage by ~3.6 ms/iter and the GB/s by ~2x)
     """Per-stage roofline (SURVEY.md §5): times each pipeline stage as a
     K-iteration in-jit loop (relay-safe: salted, scalar-synced) and reports
     achieved HBM bandwidth vs the sgm_bytes_model estimate."""

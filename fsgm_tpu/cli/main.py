@@ -354,24 +354,34 @@ if nproc > 1:
     jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
                                num_processes=nproc, process_id=pid)
 import numpy as np, jax.numpy as jnp
-from fsgm_tpu.params import SGMParams, DistParams
-from fsgm_tpu.io.synthetic import random_dot_stereo
+from fsgm_tpu.params import SGMParams, FlowParams, DistParams
+from fsgm_tpu.io.synthetic import random_dot_stereo, constant_flow_pair
 from fsgm_tpu.parallel.tiled import stereo_sgm_sharded
+from fsgm_tpu.parallel.tiled_flow import flow_fsgm_sharded
 from fsgm_tpu.parallel.multihost import global_mesh
 mesh = global_mesh()
-p = SGMParams(max_disp=32, p1=7, p2=60)
+task = "%s"
 dist = DistParams(tiles_y=mesh.shape["ty"], frame_shards=mesh.shape["frame"],
                   tile_mode="fast", margin=8)
 F = mesh.shape["frame"]
-pairs = [random_dot_stereo(96, 128, 32, seed=s) for s in range(F)]
+if task == "stereo":
+    p = SGMParams(max_disp=32, p1=7, p2=60)
+    pairs = [random_dot_stereo(96, 128, 32, seed=s) for s in range(F)]
+    run = lambda a, b: stereo_sgm_sharded(a, b, p, dist, mesh)
+else:
+    p = FlowParams(search_radius=3, levels=3, p1=7, p2=60)
+    dist = DistParams(tiles_y=mesh.shape["ty"],
+                      frame_shards=mesh.shape["frame"], tile_mode="exact")
+    pairs = [constant_flow_pair(96, 128, 2, -1, seed=s) for s in range(F)]
+    run = lambda a, b: flow_fsgm_sharded(a, b, p, dist, mesh)[0]
 il = jnp.asarray(np.stack([q[0] for q in pairs]))
 ir = jnp.asarray(np.stack([q[1] for q in pairs]))
-out = stereo_sgm_sharded(il, ir, p, dist, mesh)  # compile
+out = run(il, ir)  # compile
 out.block_until_ready()
 reps = %d
 t0 = time.perf_counter()
 for _ in range(reps):
-    stereo_sgm_sharded(il, ir, p, dist, mesh).block_until_ready()
+    run(il, ir).block_until_ready()
 dt = (time.perf_counter() - t0) / reps
 if pid == 0:
     print(f"RESULT {F / dt:.3f}", flush=True)
@@ -379,7 +389,7 @@ if pid == 0:
     repo = str(Path(__file__).resolve().parents[2])
     results = {}
     for nproc in sorted({1, args.procs}):
-        src = worker % (args.devices_per_proc, args.reps)
+        src = worker % (args.devices_per_proc, args.task, args.reps)
         with tempfile.NamedTemporaryFile("w", suffix=".py",
                                          delete=False) as f:
             f.write(src)
@@ -491,6 +501,7 @@ def main(argv=None) -> int:
 
     st = sub.add_parser("scale-test",
                         help="weak-scaling harness over N localhost procs")
+    st.add_argument("--task", default="stereo", choices=["stereo", "flow"])
     st.add_argument("--procs", type=int, default=2)
     st.add_argument("--devices-per-proc", dest="devices_per_proc", type=int,
                     default=4)
