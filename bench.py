@@ -9,7 +9,7 @@ is a single-threaded MATLAB/MEX CPU pipeline, far slower, and publishes no
 numbers — BASELINE.json `published: {}`).
 
 Env knobs:
-  FSGM_BENCH_CONFIG  kitti (default) | tsukuba | kitti16 | flow | 4k
+  FSGM_BENCH_CONFIG  kitti (default) | tsukuba | kitti16 | flow | 4k | 4kflow
   FSGM_BENCH_BACKEND pallas | xla  (default: pallas on TPU)
   FSGM_BENCH_BATCH   frames per dispatch (default per config)
   FSGM_BENCH_STAGES  1 -> per-stage roofline table on stderr (JSONL:
@@ -45,6 +45,9 @@ CONFIGS = {
     # flow batch 8: amortizes the ~29 ms relay dispatch floor to ~3.6 ms/
     # frame (batch 2 left ~14.5 ms/frame of pure dispatch in the metric)
     "flow":    (368, 1232, 81, 8, "kitti_flow_fsgm_throughput"),
+    # BASELINE config 5 names "4K stereo / flow": the flow leg, 5 levels
+    # (coarsest 135x240), single frame per dispatch
+    "4kflow":  (2160, 3840, 81, 1, "uhd_flow_fsgm_throughput"),
 }
 
 
@@ -191,14 +194,16 @@ def main() -> None:
     batch = int(os.environ.get("FSGM_BENCH_BATCH", batch_default))
     repeats = 6
 
-    if cfg == "flow":
+    if cfg in ("flow", "4kflow"):
         # fb_backward="half": backward pyramid at half resolution, full
         # extraction at every backward level.  Validity within ~5 points
         # of the full backward on synthetic GT (tools/fb_accuracy.py) at
         # a quarter of the backward aggregation work; the round-1 "cheap"
         # (skip subpixel/median at EVERY backward level) lost ~40 points
         # of validity and is no longer the bench default.
-        fparams = FlowParams(search_radius=4, levels=4, p1=7, p2=100,
+        fparams = FlowParams(search_radius=4,
+                             levels=5 if cfg == "4kflow" else 4,
+                             p1=7, p2=100,
                              fb_backward=os.environ.get("FSGM_BENCH_FB",
                                                         "half"))
         pairs = [constant_flow_pair(h, w, 3, -2, seed=s)
@@ -246,7 +251,7 @@ def main() -> None:
           f"frame={dt*1e3:.2f}ms fps={fps:.1f} compile={compile_s:.1f}s "
           f"vs_SoL={mpds / SOL_MPDS:.1%}", file=sys.stderr)
 
-    if os.environ.get("FSGM_BENCH_STAGES", "0") == "1" and cfg != "flow":
+    if os.environ.get("FSGM_BENCH_STAGES", "0") == "1" and cfg not in ("flow", "4kflow"):
         _stage_roofline(params, h, w, d, backend)
 
 
