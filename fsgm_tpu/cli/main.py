@@ -163,6 +163,72 @@ def cmd_video(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Persistent serving loop: JSONL requests on stdin -> JSONL responses
+    on stdout, keeping the compiled pipelines warm across requests (the
+    first request per (task, shape) pays the compile; later ones hit
+    jax's jit cache, so a stream of same-camera frames runs at device
+    speed instead of paying per-process startup + compile).
+
+    Request:  {"task": "stereo"|"flow", "id": any,
+               "left"/"right" | "first"/"second": image paths,
+               "out": output path}
+    Response: {"id", "out", "wall_s", "valid_frac"?} or {"id", "error"}.
+    A blank line or EOF ends the loop.  Ordering is preserved; responses
+    are flushed per request so a driving process can pipeline."""
+    import jax.numpy as jnp
+    from fsgm_tpu.params import SGMParams, FlowParams
+    from fsgm_tpu.models.stereo import stereo_sgm
+    from fsgm_tpu.models.flow import flow_fsgm
+    from fsgm_tpu.io.images import load_gray
+    from fsgm_tpu.io import kitti
+
+    be = _backend(args.backend)
+    sp = _params_from_args(args, SGMParams)
+    fp = _params_from_args(args, FlowParams)
+    print(json.dumps({"serving": True, "backend": be}), flush=True)
+    served = 0
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            break
+        try:
+            req = json.loads(line)
+            rid = req.get("id", served)
+            out = Path(req["out"])
+            t0 = time.perf_counter()
+            if req["task"] == "stereo":
+                il = load_gray(req["left"])
+                ir = load_gray(req["right"])
+                disp = np.asarray(stereo_sgm(jnp.asarray(il),
+                                             jnp.asarray(ir), sp, be))
+                kitti.write_disparity_png(out, disp)
+                resp = {"id": rid, "out": str(out),
+                        "density": round(float((disp >= 0).mean()), 4)}
+            else:
+                i1 = load_gray(req["first"])
+                i2 = load_gray(req["second"])
+                flow, valid = flow_fsgm(jnp.asarray(i1), jnp.asarray(i2),
+                                        fp, be)
+                flow, valid = np.asarray(flow), np.asarray(valid)
+                if out.suffix == ".flo":
+                    kitti.write_flo(out, np.where(valid[..., None],
+                                                  flow, 0))
+                else:
+                    kitti.write_flow_png(out, np.where(valid[..., None],
+                                                       flow, 0), valid)
+                resp = {"id": rid, "out": str(out),
+                        "valid_frac": round(float(valid.mean()), 4)}
+            resp["wall_s"] = round(time.perf_counter() - t0, 4)
+        except Exception as e:  # per-request fault isolation
+            resp = {"id": req.get("id", served) if isinstance(req, dict)
+                    else served, "error": f"{type(e).__name__}: {e}"}
+        print(json.dumps(resp), flush=True)
+        served += 1
+    print(json.dumps({"served": served}), flush=True)
+    return 0
+
+
 def cmd_eval(args) -> int:
     from fsgm_tpu.io import kitti
     from fsgm_tpu.eval.metrics import d1_all, fl_all
@@ -470,6 +536,18 @@ def main(argv=None) -> int:
     ep.add_argument("task", choices=["stereo", "flow"])
     ep.add_argument("pred"); ep.add_argument("gt")
     ep.set_defaults(fn=cmd_eval)
+
+    svp = sub.add_parser("serve",
+                         help="persistent JSONL request loop (stdin) "
+                         "keeping compiled pipelines warm")
+    svp.add_argument("--preset")
+    svp.add_argument("--max-disp", dest="max_disp", type=int)
+    svp.add_argument("--search-radius", dest="search_radius", type=int)
+    svp.add_argument("--levels", type=int)
+    svp.add_argument("--p1", type=int); svp.add_argument("--p2", type=int)
+    svp.add_argument("--backend", default="auto",
+                     choices=["auto", "xla", "pallas"])
+    svp.set_defaults(fn=cmd_serve)
 
     dp = sub.add_parser("demo", help="synthetic end-to-end smoke run")
     dp.add_argument("--backend", default="auto",

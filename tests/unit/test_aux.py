@@ -113,6 +113,44 @@ def test_cli_video_sequence(tmp_path):
         assert flo.shape == (32, 48, 2) and valid.any()
 
 
+def test_cli_serve_loop(tmp_path):
+    """Persistent serving: stereo + flow requests through one process,
+    responses in order, per-request fault isolation (bad path -> error
+    record, loop keeps serving)."""
+    from fsgm_tpu.io.synthetic import random_dot_stereo, constant_flow_pair
+    from fsgm_tpu.io.images import save_gray
+    repo = Path(__file__).resolve().parents[2]
+    il, ir, _ = random_dot_stereo(24, 32, 8, seed=0)
+    i1, i2, _ = constant_flow_pair(24, 32, 1, -1, seed=1)
+    for name, img in (("l", il), ("r", ir), ("a", i1), ("b", i2)):
+        save_gray(tmp_path / f"{name}.png", img)
+    reqs = [
+        {"task": "stereo", "id": "s0", "left": str(tmp_path / "l.png"),
+         "right": str(tmp_path / "r.png"), "out": str(tmp_path / "d.png")},
+        {"task": "stereo", "id": "bad", "left": str(tmp_path / "nope.png"),
+         "right": str(tmp_path / "r.png"), "out": str(tmp_path / "x.png")},
+        {"task": "flow", "id": "f0", "first": str(tmp_path / "a.png"),
+         "second": str(tmp_path / "b.png"),
+         "out": str(tmp_path / "f.png")},
+    ]
+    env = dict(os.environ, PYTHONPATH=str(repo), JAX_PLATFORMS="cpu")
+    pre = ("import jax; jax.config.update('jax_platforms','cpu');"
+           "from fsgm_tpu.cli.main import main; import sys;"
+           "sys.exit(main(sys.argv[1:]))")
+    cmd = [sys.executable, "-c", pre, "serve", "--max-disp", "8",
+           "--search-radius", "2", "--levels", "2", "--backend", "xla"]
+    inp = "\n".join(json.dumps(r) for r in reqs) + "\n"
+    r = subprocess.run(cmd, env=env, cwd=repo, input=inp,
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    recs = [json.loads(ln) for ln in r.stdout.strip().splitlines()]
+    assert recs[0]["serving"] and recs[-1]["served"] == 3
+    body = recs[1:-1]
+    assert [x["id"] for x in body] == ["s0", "bad", "f0"]
+    assert "error" in body[1] and "out" in body[0] and "out" in body[2]
+    assert (tmp_path / "d.png").exists() and (tmp_path / "f.png").exists()
+
+
 def test_metrics_d1():
     gt = np.full((10, 10), 20.0)
     pred = gt.copy()
