@@ -25,6 +25,22 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables at module boundaries.
+
+    The full suite compiles hundreds of XLA:CPU programs in one process;
+    past ~120 tests the NEXT large compile segfaults/aborts inside
+    backend_compile_and_load (reproduced deterministically at
+    test_flow_backward_mode_parity; 128 GB RAM free, so not OOM — a
+    cumulative XLA:CPU/LLVM JIT state bug in this jax build).  Clearing
+    the jit caches between modules keeps the live-executable footprint
+    bounded; the recompiles cost a little wall-clock but keep the suite
+    alive end-to-end."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(1234)
