@@ -59,12 +59,25 @@ def _butterfly_transpose_tile(m: jnp.ndarray) -> jnp.ndarray:
 
 def _tr_kernel(x_ref, o_ref, *, wp: int):
     x = x_ref[0]                                   # (T, wp): labels x W
-    for j in range(wp // T):
-        # Mosaic rotates are 32-bit only ("Rotate with non-32-bit data" is
-        # not implemented): widen u8 -> i32 for the butterfly, narrow back
-        tile = x[:, j * T:(j + 1) * T].astype(jnp.int32)
-        tr = _butterfly_transpose_tile(tile)
-        o_ref[0, j * T:(j + 1) * T, :] = tr.astype(x_ref.dtype)
+    # Mosaic rotates are 32-bit only ("Rotate with non-32-bit data" is
+    # not implemented), so the butterfly runs on i32.  Rather than
+    # widening each u8 tile alone (wasting 3 of 4 bytes per vector op),
+    # BYTE-PACK four consecutive W-tiles into one i32 tile: the butterfly
+    # permutes positions independently of values, so all four tiles
+    # transpose in parallel inside one roll/select cascade — ~3x fewer
+    # vector ops on this VMEM-round-trip-bound kernel (measured 4.3 ms ->
+    # see NOTES-PERF).
+    ntiles = wp // T
+    gsz = 4 if os.environ.get("FSGM_TR_PACK", "1") == "1" else 1
+    for j0 in range(0, ntiles, gsz):
+        group = range(j0, min(j0 + gsz, ntiles))
+        pk = jnp.zeros((T, T), jnp.int32)
+        for b, j in enumerate(group):
+            pk = pk | (x[:, j * T:(j + 1) * T].astype(jnp.int32) << (8 * b))
+        tr = _butterfly_transpose_tile(pk)
+        for b, j in enumerate(group):
+            o_ref[0, j * T:(j + 1) * T, :] = (
+                (tr >> (8 * b)) & 0xFF).astype(x_ref.dtype)
 
 
 def label_minor_from_major(vol: jnp.ndarray) -> jnp.ndarray:
