@@ -16,6 +16,17 @@ an optional, exact mode:
 
 Everything stays integer until subpixel, so the mode is bit-exact vs the
 single-chip pipeline (tests/distributed/test_disparity_sharded.py).
+
+Backend note: this mode is XLA-only BY CONSTRUCTION, unlike the spatial
+tilings (parallel/tiled*.py) which run the carry-capable Pallas sweeps.
+The recurrence here needs a cross-chip `pmin` INSIDE every scan step
+(the min_k L term spans the sharded label axis), and a Pallas kernel
+cannot issue a collective mid-grid-step on this toolchain — the fused
+in-VMEM sweep would have to end, exchange, and relaunch per pixel step,
+which is strictly worse than the lax.scan + pmin structure XLA already
+overlaps.  Spatial tiling shards axes the recurrence only crosses once
+per sweep (halo at tile edges), which is why it is the preferred mode
+and the one the Pallas kernels serve.
 """
 
 from __future__ import annotations
