@@ -192,6 +192,7 @@ def cmd_serve(args) -> int:
         line = line.strip()
         if not line:
             break
+        req = None
         try:
             req = json.loads(line)
             rid = req.get("id", served)
@@ -221,6 +222,8 @@ def cmd_serve(args) -> int:
                         "valid_frac": round(float(valid.mean()), 4)}
             resp["wall_s"] = round(time.perf_counter() - t0, 4)
         except Exception as e:  # per-request fault isolation
+            # req is None when json.loads itself failed — never attribute
+            # the error to a previous request's id
             resp = {"id": req.get("id", served) if isinstance(req, dict)
                     else served, "error": f"{type(e).__name__}: {e}"}
         print(json.dumps(resp), flush=True)

@@ -430,5 +430,11 @@ def flow_sequence(frames, params: FlowParams, backend: str = "xla",
                              prior_flow=prev)
         flows.append(f)
         valids.append(v)
-        prev = f
+        # seed the next pair with FB-validated flow only: at invalid
+        # pixels the field holds the unchecked forward estimate, and
+        # feeding those through the downsample chain poisons the next
+        # pair's window centers (measured on constant-motion sequences:
+        # unmasked seeding made the full-depth pass WORSE than scratch,
+        # 1.68 vs 0.21 px mean error; masked seeding restores it)
+        prev = jnp.where(v[..., None], f, 0.0)
     return jnp.stack(flows), jnp.stack(valids)

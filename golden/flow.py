@@ -293,8 +293,12 @@ def fsgm_flow(img1: np.ndarray, img2: np.ndarray, params: FlowParams,
             # level 1 (half resolution) with FULL extraction at every
             # backward level, result 2x-upsampled for the rounded
             # fb_check lookup
+            # fb_backward reset to "full": levels-1 may be 1, which the
+            # 'half' validator rejects (and fb_check=False makes the field
+            # unused in the recursive call anyway)
             bwd_params = dataclasses.replace(
-                params, fb_check=False, levels=params.levels - 1)
+                params, fb_check=False, levels=params.levels - 1,
+                fb_backward="full")
             bwd_prior = (None if init is None
                          else -downsample_flow_2x(
                              np.asarray(prior_flow, dtype=np.float64)))
@@ -340,5 +344,6 @@ def flow_sequence(frames, params: FlowParams, track_params=None):
             f, v = fsgm_flow(frames[t], frames[t + 1], tp, prior_flow=prev)
         flows.append(f)
         valids.append(v)
-        prev = f
+        # mirror fsgm_tpu: seed the next pair with FB-validated flow only
+        prev = np.where(v[..., None], f, 0.0)
     return np.stack(flows), np.stack(valids)

@@ -129,6 +129,7 @@ def test_cli_serve_loop(tmp_path):
          "right": str(tmp_path / "r.png"), "out": str(tmp_path / "d.png")},
         {"task": "stereo", "id": "bad", "left": str(tmp_path / "nope.png"),
          "right": str(tmp_path / "r.png"), "out": str(tmp_path / "x.png")},
+        "this is not json",   # malformed line: error record, loop survives
         {"task": "flow", "id": "f0", "first": str(tmp_path / "a.png"),
          "second": str(tmp_path / "b.png"),
          "out": str(tmp_path / "f.png")},
@@ -139,15 +140,19 @@ def test_cli_serve_loop(tmp_path):
            "sys.exit(main(sys.argv[1:]))")
     cmd = [sys.executable, "-c", pre, "serve", "--max-disp", "8",
            "--search-radius", "2", "--levels", "2", "--backend", "xla"]
-    inp = "\n".join(json.dumps(r) for r in reqs) + "\n"
+    inp = "\n".join(r if isinstance(r, str) else json.dumps(r)
+                    for r in reqs) + "\n"
     r = subprocess.run(cmd, env=env, cwd=repo, input=inp,
                        capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, r.stderr[-2000:]
     recs = [json.loads(ln) for ln in r.stdout.strip().splitlines()]
-    assert recs[0]["serving"] and recs[-1]["served"] == 3
+    assert recs[0]["serving"] and recs[-1]["served"] == 4
     body = recs[1:-1]
-    assert [x["id"] for x in body] == ["s0", "bad", "f0"]
-    assert "error" in body[1] and "out" in body[0] and "out" in body[2]
+    # the malformed line must get its OWN error record (id = its stream
+    # index, never the previous request's id)
+    assert [x["id"] for x in body] == ["s0", "bad", 2, "f0"]
+    assert "error" in body[1] and "error" in body[2]
+    assert "out" in body[0] and "out" in body[3]
     assert (tmp_path / "d.png").exists() and (tmp_path / "f.png").exists()
 
 

@@ -134,6 +134,22 @@ def test_flow_blockwise_motion():
     assert np.mean(epe <= 1.0) > 0.8, f"EPE too high: {epe.mean()}"
 
 
+def test_flow_half_backward_minimum_levels(pair):
+    # levels=2 is the minimum config 'half' allows; the golden mirror
+    # must not trip its own validator when the backward recursion drops
+    # to a single level (regression: dataclasses.replace re-runs
+    # __post_init__ with levels=1 while fb_backward was still 'half')
+    img1, img2, _ = pair
+    p = FlowParams(search_radius=3, levels=2, p1=7, p2=60,
+                   fb_backward="half")
+    gold, gold_valid = gf.fsgm_flow(img1, img2, p)
+    ours, valid = jflow.flow_fsgm(jnp.asarray(img1), jnp.asarray(img2),
+                                  p, "xla")
+    np.testing.assert_array_equal(np.asarray(valid), gold_valid)
+    np.testing.assert_allclose(np.asarray(ours)[gold_valid],
+                               gold[gold_valid], atol=1e-3)
+
+
 # ---------------------------------------------------------------------------
 # Temporal-prior sequence mode
 # ---------------------------------------------------------------------------

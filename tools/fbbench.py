@@ -7,8 +7,11 @@ tool measures the candidate lowerings:
 
   2ch    current fb_check: flow_bwd[tyc, txc] on an (H, W, 2) f32 field
   linear flattened linear-index take on (H*W, 2)
-  packed single (H, W) int32 gather of int16-packed (u, v) (lossless when
-         the backward pass skipped subpixel, i.e. cheap/single/half modes)
+  packed single (H, W) int32 gather of int16-packed (u, v) (lossless only
+         when the backward pass skipped subpixel, i.e. the final-level
+         output of cheap/single modes — NOT "half", which keeps subpixel
+         exactly because integer-only backward values sit at the fb
+         tolerance after 2x upsampling; measured worse anyway)
 
     python tools/fbbench.py [--shape 368x1232] [--iters 16]
 """

@@ -5,9 +5,12 @@ sequence pairs are serially dependent through the temporal prior, so
 dispatch cannot be batched away; this is the number a video consumer
 sees) for:
 
-  full     every pair from scratch, `levels` pyramid
-  tracked  pair 0 from scratch, later pairs seeded with the previous
-           field through a `track_levels` pyramid
+  scratch  every pair independently (flow_fsgm, no temporal prior),
+           `levels` pyramid — the per-pair CLI baseline
+  seeded   flow_sequence with the full pyramid every pair (temporal
+           prior, same depth)
+  tracked  flow_sequence: pair 0 full depth, later pairs through a
+           shallower `track_levels` pyramid seeded by the previous field
 
     python tools/seqbench.py [--shape 368x1232] [--frames 9]
 """
@@ -38,7 +41,7 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
     from fsgm_tpu.params import FlowParams
-    from fsgm_tpu.models.flow import flow_sequence
+    from fsgm_tpu.models.flow import flow_sequence, flow_fsgm
     from fsgm_tpu.io.synthetic import constant_flow_sequence
 
     h, w = (int(x) for x in args.shape.split("x"))
@@ -51,13 +54,22 @@ def main() -> None:
     print(f"# platform={jax.devices()[0].platform} shape={args.shape} "
           f"frames={args.frames}", file=sys.stderr)
 
-    for name, track in (("full", None), ("tracked", tp)):
+    def run_scratch(fr):
+        outs = [flow_fsgm(fr[i], fr[i + 1], p, args.backend)
+                for i in range(fr.shape[0] - 1)]
+        return (jnp.stack([o[0] for o in outs]),
+                jnp.stack([o[1] for o in outs]))
+
+    for name, run in (("scratch", run_scratch),
+                      ("seeded", lambda fr: flow_sequence(
+                          fr, p, args.backend)),
+                      ("tracked", lambda fr: flow_sequence(
+                          fr, p, args.backend, track_params=tp))):
         for rep in range(3):
             # new salt per rep so the relay cannot memoize
             fr = jnp.asarray(frames_np) ^ np.uint8(rep + 1)
             t0 = time.perf_counter()
-            flows, valids = flow_sequence(fr, p, args.backend,
-                                          track_params=track)
+            flows, valids = run(fr)
             err = float(jnp.mean(jnp.abs(flows[-1][..., 0] - 3)))
             dt = time.perf_counter() - t0
             if rep == 2:
