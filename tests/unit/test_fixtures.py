@@ -71,6 +71,26 @@ def test_pipeline_stereo_matches_frozen(name, backend):
                                atol=1e-3)
 
 
+@pytest.mark.parametrize("name", sorted(ff.SEQ_CASES))
+def test_golden_sequence_matches_frozen(name):
+    fx = _load(name)
+    h, w, u, v, n, seed, kw = ff.SEQ_CASES[name]
+    flows, valids = gf.flow_sequence(fx["frames"], FlowParams(**kw))
+    np.testing.assert_array_equal(valids, fx["valids"])
+    np.testing.assert_array_equal(flows.astype(np.float64), fx["flows"])
+
+
+@pytest.mark.parametrize("name", sorted(ff.SEQ_CASES))
+def test_pipeline_sequence_matches_frozen(name):
+    from fsgm_tpu.models.flow import flow_sequence
+    fx = _load(name)
+    h, w, u, v, n, seed, kw = ff.SEQ_CASES[name]
+    flows, valids = flow_sequence(jnp.asarray(fx["frames"]),
+                                  FlowParams(**kw), "xla")
+    np.testing.assert_array_equal(np.asarray(valids), fx["valids"])
+    np.testing.assert_allclose(np.asarray(flows), fx["flows"], atol=1e-3)
+
+
 @pytest.mark.parametrize("name", sorted(ff.FLOW_CASES))
 def test_pipeline_flow_matches_frozen(name):
     fx = _load(name)

@@ -23,7 +23,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from fsgm_tpu.params import SGMParams, FlowParams  # noqa: E402
 from fsgm_tpu.io.synthetic import (random_dot_stereo,  # noqa: E402
-                                   constant_flow_pair)
+                                   constant_flow_pair,
+                                   constant_flow_sequence)
 import golden.sgm as gs  # noqa: E402
 import golden.flow as gf  # noqa: E402
 
@@ -41,6 +42,13 @@ STEREO_CASES = {
 FLOW_CASES = {
     # name: (h, w, u, v, seed, params kwargs)
     "flow_2lvl": (48, 64, 2, -1, 6, dict(search_radius=3, levels=2)),
+}
+SEQ_CASES = {
+    # name: (h, w, u, v, n_frames, seed, params kwargs) — pins the
+    # temporal-prior plumbing (downsample chain, negated backward seed,
+    # FB-validated masking between pairs)
+    "flow_seq_3frame": (40, 56, 2, -1, 3, 13,
+                        dict(search_radius=2, levels=2)),
 }
 
 
@@ -68,12 +76,24 @@ def freeze_flow(name, h, w, u, v, seed, kw) -> Path:
     return path
 
 
+def freeze_seq(name, h, w, u, v, n, seed, kw) -> Path:
+    frames, gt = constant_flow_sequence(h, w, u, v, n, seed=seed)
+    params = FlowParams(**kw)
+    flows, valids = gf.flow_sequence(frames, params)
+    path = FIXDIR / f"{name}.npz"
+    np.savez_compressed(path, frames=frames, flow_gt=gt,
+                        flows=flows.astype(np.float64), valids=valids)
+    return path
+
+
 def main() -> None:
     FIXDIR.mkdir(parents=True, exist_ok=True)
     for name, (h, w, d, seed, kw) in STEREO_CASES.items():
         print("wrote", freeze_stereo(name, h, w, d, seed, kw))
     for name, (h, w, u, v, seed, kw) in FLOW_CASES.items():
         print("wrote", freeze_flow(name, h, w, u, v, seed, kw))
+    for name, (h, w, u, v, n, seed, kw) in SEQ_CASES.items():
+        print("wrote", freeze_seq(name, h, w, u, v, n, seed, kw))
 
 
 if __name__ == "__main__":
