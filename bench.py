@@ -188,10 +188,17 @@ def main() -> None:
 
     cfg = os.environ.get("FSGM_BENCH_CONFIG", "kitti")
     h, w, d, batch_default, metric = CONFIGS[cfg]
+    batch = int(os.environ.get("FSGM_BENCH_BATCH", batch_default))
     backend = os.environ.get("FSGM_BENCH_BACKEND")
     if backend is None:
         backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
-    batch = int(os.environ.get("FSGM_BENCH_BATCH", batch_default))
+        # measured crossover (NOTES-PERF "Flow backend is batch-dependent"):
+        # the XLA scan path vectorizes the vmapped frame batch INTO each
+        # scan step and works at 81 labels instead of 128 padded lanes, so
+        # batched flow favors XLA (35.5 vs 51 ms/frame at batch 8) while
+        # single-frame favors the Pallas sweeps (55 vs 89 ms device)
+        if cfg in ("flow", "4kflow") and batch >= 4 and backend == "pallas":
+            backend = "xla"
     repeats = 6
 
     if cfg in ("flow", "4kflow"):
