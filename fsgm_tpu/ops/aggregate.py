@@ -176,13 +176,93 @@ def aggregate_one_path(cost: jnp.ndarray, img: jnp.ndarray,
     return l_all
 
 
+def _family_scan(cost: jnp.ndarray, img: jnp.ndarray,
+                 fam: Sequence[Tuple[int, int]], p1: int, p2: int,
+                 adaptive_p2: bool, neighbor_min: Callable) -> jnp.ndarray:
+    """One lax.scan computing SUM of L_r over a whole downward family
+    (all dy > 0; 3 dirs at 8 paths, 7 with the knight moves — the same
+    family structure as the Pallas row sweeps).
+
+    vs one scan per direction this reads the cost volume once per FAMILY
+    and never materializes per-direction L volumes (the summed row is the
+    only output), cutting the XLA path's HBM traffic roughly 35% while
+    producing bit-identical values (each direction keeps its own carry
+    rows and per-pixel arithmetic).  Per-direction math matches
+    aggregate_one_path exactly."""
+    h, w, nd = cost.shape
+    p1_32 = jnp.int32(p1)
+    valids = jnp.stack([_valid_mask(h, w, dx) for _, dx in fam])   # (n,H,W)
+    p2es = jnp.stack([
+        _p2_effective(img, None, dy, dx, v, p1, p2, adaptive_p2)
+        for (dy, dx), v in zip(fam, valids)])                      # (n,H,W)
+    # pytree carry: one (2, W, D) state per direction (a stacked
+    # (n, 2, W, D) tensor forces whole-array updates per step)
+    carry0 = tuple(jnp.zeros((2, w, nd), dtype=jnp.int32) for _ in fam)
+
+    def step(carry, xs):
+        cost_row, p2e_rows, valid_rows = xs
+        cost_row = cost_row.astype(jnp.int32)
+        s_row = jnp.zeros((w, nd), dtype=jnp.int32)
+        new_carry = []
+        for i, (dy, dx) in enumerate(fam):
+            prev = _shift_x(carry[i][dy - 1], dx, INF32)
+            m = jnp.min(prev, axis=-1, keepdims=True)
+            best = jnp.minimum(
+                jnp.minimum(prev, neighbor_min(prev, p1_32)),
+                m + p2e_rows[i][:, None])
+            l_row = jnp.where(valid_rows[i][:, None],
+                              cost_row + best - m, cost_row)
+            s_row = s_row + l_row
+            new_carry.append(jnp.stack([l_row, carry[i][0]], axis=0))
+        # family sum fits u16: params validation bounds 8*(Cmax+P2) < 2^16
+        # and a family holds at most 7 directions — halves output traffic
+        return tuple(new_carry), s_row.astype(jnp.uint16)
+
+    _, s = jax.lax.scan(
+        step, carry0,
+        (cost, jnp.moveaxis(p2es, 1, 0), jnp.moveaxis(valids, 1, 0)))
+    return s.astype(jnp.int32)
+
+
 def aggregate_paths(cost: jnp.ndarray, img: jnp.ndarray,
                     dirs: Sequence[Tuple[int, int]], p1: int, p2: int,
                     adaptive_p2: bool = False,
                     neighbor_min: Callable = neighbor_min_1d) -> jnp.ndarray:
-    """S = sum_r L_r, int32.  (SURVEY.md §3.1 HOT #1.)"""
+    """S = sum_r L_r, int32.  (SURVEY.md §3.1 HOT #1.)
+
+    FSGM_XLA_FUSED=1 groups directions into the four canonical families
+    (down, up, right, left — up flips y, horizontals transpose), each as
+    ONE fused scan (_family_scan): bit-exact vs the per-direction loop
+    (tests cover both) and ~35% less modeled HBM traffic.  Kept opt-in
+    for now: its first TPU validation runs coincided with a relay-backend
+    outage ("Unable to initialize backend 'axon': UNAVAILABLE"), so its
+    on-hardware compile time and speed are unmeasured — flip the default
+    once a clean TPU A/B confirms it.  The per-direction carry API for
+    tiled execution lives in aggregate_one_path."""
+    import os
+    if os.environ.get("FSGM_XLA_FUSED", "0") != "1":
+        s = jnp.zeros(cost.shape, dtype=jnp.int32)
+        for r in dirs:
+            s = s + aggregate_one_path(cost, img, r, p1, p2, adaptive_p2,
+                                       neighbor_min)
+        return s
     s = jnp.zeros(cost.shape, dtype=jnp.int32)
-    for r in dirs:
-        s = s + aggregate_one_path(cost, img, r, p1, p2, adaptive_p2,
-                                   neighbor_min)
+    down = [(dy, dx) for dy, dx in dirs if dy > 0]
+    up = [(-dy, dx) for dy, dx in dirs if dy < 0]
+    right = [(dx, dy) for dy, dx in dirs if dy == 0 and dx > 0]
+    left = [(-dx, dy) for dy, dx in dirs if dy == 0 and dx < 0]
+    if down:
+        s = s + _family_scan(cost, img, down, p1, p2, adaptive_p2,
+                             neighbor_min)
+    if up:
+        s = s + _family_scan(cost[::-1], img[::-1], up, p1, p2,
+                             adaptive_p2, neighbor_min)[::-1]
+    if right:
+        st = _family_scan(jnp.swapaxes(cost, 0, 1), img.T, right, p1, p2,
+                          adaptive_p2, neighbor_min)
+        s = s + jnp.swapaxes(st, 0, 1)
+    if left:
+        st = _family_scan(jnp.swapaxes(cost, 0, 1)[::-1], img.T[::-1],
+                          left, p1, p2, adaptive_p2, neighbor_min)[::-1]
+        s = s + jnp.swapaxes(st, 0, 1)
     return s

@@ -113,6 +113,28 @@ def test_full_s_and_wta_exact(pair, num_paths, adaptive):
     np.testing.assert_array_equal(d_int.astype(np.int64), inter["d_int"])
 
 
+@pytest.mark.parametrize("num_paths,adaptive", [(8, False), (16, True)])
+def test_fused_family_scan_exact(pair, num_paths, adaptive, monkeypatch):
+    """FSGM_XLA_FUSED=1 (family-fused lax.scan, TPU-compile-blocked as
+    default — see ops/aggregate.py) must stay bit-exact vs golden S."""
+    import fsgm_tpu.ops.aggregate  # noqa: F401 — env read at call time
+    monkeypatch.setenv("FSGM_XLA_FUSED", "1")
+    img_l, img_r, _ = pair
+    p = SGMParams(max_disp=16, p1=7, p2=60, num_paths=num_paths,
+                  adaptive_p2=adaptive)
+    _, inter = g.sgm_stereo(img_l, img_r, p, return_intermediates=True)
+    from fsgm_tpu.ops.census import census_transform
+    from fsgm_tpu.ops.cost import cost_volume_stereo
+    from fsgm_tpu.ops import aggregate as agg
+    cl = census_transform(jnp.asarray(img_l), p.census_window)
+    cr = census_transform(jnp.asarray(img_r), p.census_window)
+    cost = cost_volume_stereo(cl, cr, p.max_disp, p.invalid_cost)
+    s = agg.aggregate_paths(cost, jnp.asarray(img_l), p.dirs, p.p1, p.p2,
+                            p.adaptive_p2)
+    np.testing.assert_array_equal(np.asarray(s).astype(np.int64),
+                                  inter["S"])
+
+
 def test_full_pipeline_close(pair):
     img_l, img_r, _ = pair
     p = SGMParams(max_disp=16, p1=7, p2=60)
