@@ -178,6 +178,22 @@ def _stage_roofline(params, h, w, d, backend, iters=32) -> None:
     timer.print_report(file=sys.stderr)
 
 
+def _wait_for_backend(jax, retries: int, delay_s: float) -> None:
+    """Ride out transient relay outages ("Unable to initialize backend
+    'axon': UNAVAILABLE", observed 2026-08-17): retry device discovery
+    before letting the benchmark die on a backend-init error."""
+    for attempt in range(retries):
+        try:
+            jax.devices()
+            return
+        except RuntimeError as e:
+            if attempt == retries - 1:
+                raise
+            print(f"# backend unavailable (try {attempt + 1}/{retries}): "
+                  f"{e}", file=sys.stderr)
+            time.sleep(delay_s)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -186,6 +202,12 @@ def main() -> None:
     from fsgm_tpu.models.flow import flow_fsgm
     from fsgm_tpu.io.synthetic import random_dot_stereo, constant_flow_pair
 
+    # note: when the relay is down, jax.devices() itself can BLOCK for
+    # many minutes before raising, so a few retries already span a long
+    # wall-clock window
+    _wait_for_backend(jax,
+                      int(os.environ.get("FSGM_BENCH_INIT_RETRIES", "3")),
+                      float(os.environ.get("FSGM_BENCH_INIT_DELAY", "60")))
     cfg = os.environ.get("FSGM_BENCH_CONFIG", "kitti")
     h, w, d, batch_default, metric = CONFIGS[cfg]
     batch = int(os.environ.get("FSGM_BENCH_BATCH", batch_default))
