@@ -95,6 +95,26 @@ def cmd_stereo(args) -> int:
     return 0
 
 
+def densify_flow(flow: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    """Fill FB-invalidated pixels row-wise from the nearest valid left
+    neighbor (else nearest right) — the devkit-style densification pass
+    for writing dense flow maps (occlusions inherit the occluder's
+    row-neighbor motion).  Host-side post-processing only: the parity
+    pipeline's output (flow + explicit validity plane) is untouched."""
+    h, w = valid.shape
+    xs = np.arange(w, dtype=np.int64)[None, :]
+    left = np.maximum.accumulate(np.where(valid, xs, -1), axis=1)
+    right = np.minimum.accumulate(
+        np.where(valid, xs, 1 << 30)[:, ::-1], axis=1)[:, ::-1]
+    src = np.where(left >= 0, left, right)
+    src_c = np.clip(src, 0, w - 1)
+    rows = np.arange(h)[:, None]
+    filled = flow[rows, src_c]
+    # rows with no valid pixel at all keep the original values
+    any_valid = valid.any(axis=1, keepdims=True)
+    return np.where((valid | ~any_valid)[..., None], flow, filled)
+
+
 def cmd_flow(args) -> int:
     import jax.numpy as jnp
     from fsgm_tpu.params import FlowParams
@@ -110,10 +130,14 @@ def cmd_flow(args) -> int:
     flow, valid = np.asarray(flow), np.asarray(valid)
     dt = time.perf_counter() - t0
     out = Path(args.output)
-    if out.suffix == ".flo":
-        kitti.write_flo(out, np.where(valid[..., None], flow, 0))
+    if getattr(args, "fill_invalid", False):
+        wr, wr_valid = densify_flow(flow, valid), np.ones_like(valid)
     else:
-        kitti.write_flow_png(out, np.where(valid[..., None], flow, 0), valid)
+        wr, wr_valid = np.where(valid[..., None], flow, 0), valid
+    if out.suffix == ".flo":
+        kitti.write_flo(out, wr)
+    else:
+        kitti.write_flow_png(out, wr, wr_valid)
     print(json.dumps({"cmd": "flow", "out": str(out),
                       "wall_s": round(dt, 4),
                       "valid_frac": round(float(valid.mean()), 4)}))
@@ -149,7 +173,10 @@ def cmd_video(args) -> int:
     dt = time.perf_counter() - t0
     for t in range(flows.shape[0]):
         name = Path(frame_paths[t]).stem
-        fl = np.where(valids[t][..., None], flows[t], 0)
+        if getattr(args, "fill_invalid", False):
+            fl = densify_flow(flows[t], valids[t])
+        else:
+            fl = np.where(valids[t][..., None], flows[t], 0)
         if args.format == "flo":
             kitti.write_flo(outdir / f"{name}.flo", fl)
         else:
@@ -517,6 +544,10 @@ def main(argv=None) -> int:
     fp.add_argument("--p1", type=int); fp.add_argument("--p2", type=int)
     fp.add_argument("--backend", default="auto",
                     choices=["auto", "xla", "pallas"])
+    fp.add_argument("--fill-invalid", dest="fill_invalid",
+                    action="store_true",
+                    help="densify: fill FB-invalidated pixels from the "
+                    "nearest valid row neighbor (devkit-style)")
     fp.set_defaults(fn=cmd_flow)
 
     vp = sub.add_parser("video",
@@ -533,6 +564,10 @@ def main(argv=None) -> int:
     vp.add_argument("--p1", type=int); vp.add_argument("--p2", type=int)
     vp.add_argument("--backend", default="auto",
                     choices=["auto", "xla", "pallas"])
+    vp.add_argument("--fill-invalid", dest="fill_invalid",
+                    action="store_true",
+                    help="densify: fill FB-invalidated pixels from the "
+                    "nearest valid row neighbor (devkit-style)")
     vp.set_defaults(fn=cmd_video)
 
     ep = sub.add_parser("eval", help="D1-all / Fl-all vs ground truth")

@@ -156,6 +156,28 @@ def test_cli_serve_loop(tmp_path):
     assert (tmp_path / "d.png").exists() and (tmp_path / "f.png").exists()
 
 
+def test_densify_flow():
+    """Devkit-style densification: invalid pixels take the nearest valid
+    LEFT neighbor (else right); valid pixels and all-invalid rows are
+    untouched."""
+    from fsgm_tpu.cli.main import densify_flow
+    flow = np.zeros((3, 5, 2))
+    flow[..., 0] = np.arange(5)[None, :]          # u = column index
+    flow[..., 1] = -np.arange(5)[None, :]
+    valid = np.array([[1, 0, 0, 1, 0],
+                      [0, 0, 1, 0, 0],
+                      [0, 0, 0, 0, 0]], dtype=bool)
+    out = densify_flow(flow, valid)
+    # row 0: cols 1,2 <- col 0; col 4 <- col 3
+    np.testing.assert_array_equal(out[0, :, 0], [0, 0, 0, 3, 3])
+    # row 1: cols 0,1 <- col 2 (no left), cols 3,4 <- col 2
+    np.testing.assert_array_equal(out[1, :, 0], [2, 2, 2, 2, 2])
+    # row 2: no valid pixel -> original values kept
+    np.testing.assert_array_equal(out[2], flow[2])
+    # valid pixels always untouched (both channels)
+    np.testing.assert_array_equal(out[valid], flow[valid])
+
+
 def test_metrics_d1():
     gt = np.full((10, 10), 20.0)
     pred = gt.copy()
