@@ -175,12 +175,14 @@ def cmd_video(args) -> int:
         name = Path(frame_paths[t]).stem
         if getattr(args, "fill_invalid", False):
             fl = densify_flow(flows[t], valids[t])
+            wr_valid = np.ones_like(valids[t])    # densified = all valid
         else:
             fl = np.where(valids[t][..., None], flows[t], 0)
+            wr_valid = valids[t]
         if args.format == "flo":
             kitti.write_flo(outdir / f"{name}.flo", fl)
         else:
-            kitti.write_flow_png(outdir / f"{name}.png", fl, valids[t])
+            kitti.write_flow_png(outdir / f"{name}.png", fl, wr_valid)
         print(json.dumps({"cmd": "video", "pair": t,
                           "out": str(outdir / name),
                           "valid_frac": round(float(valids[t].mean()), 4)}))

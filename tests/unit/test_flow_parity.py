@@ -134,6 +134,33 @@ def test_flow_blockwise_motion():
     assert np.mean(epe <= 1.0) > 0.8, f"EPE too high: {epe.mean()}"
 
 
+def test_fused_family_scan_flow_labels_exact(pair, monkeypatch):
+    """FSGM_XLA_FUSED=1 on the 2D-label (flow) path: the fused family
+    scan with make_neighbor_min_2d must match the per-direction golden
+    aggregation exactly (the stereo-path fused test alone would miss a
+    label-grid regression)."""
+    monkeypatch.setenv("FSGM_XLA_FUSED", "1")
+    img1, img2, _ = pair
+    p = FlowParams(search_radius=2, levels=1, p1=7, p2=60)
+    gold_cen1 = gs.census_transform(img1)
+    gold_cen2 = gs.census_transform(img2)
+    zero = np.zeros(img1.shape, dtype=np.int64)
+    gold_cost = gf.cost_volume_flow(gold_cen1, gold_cen2, zero, zero,
+                                    p.search_radius)
+    gold_s = gf.aggregate_paths_flow(gold_cost, img1, p)
+    from fsgm_tpu.ops import aggregate as agg
+    from fsgm_tpu.params import DIRS_8
+    cost = jcost.cost_volume_flow(
+        jcensus.census_transform(jnp.asarray(img1)),
+        jcensus.census_transform(jnp.asarray(img2)),
+        jnp.zeros(img1.shape, jnp.int32), jnp.zeros(img1.shape, jnp.int32),
+        p.search_radius)
+    nm = agg.make_neighbor_min_2d(p.search_radius)
+    s = agg.aggregate_paths(cost, jnp.asarray(img1), DIRS_8, p.p1, p.p2,
+                            p.adaptive_p2, neighbor_min=nm)
+    np.testing.assert_array_equal(np.asarray(s).astype(np.int64), gold_s)
+
+
 def test_flow_half_backward_minimum_levels(pair):
     # levels=2 is the minimum config 'half' allows; the golden mirror
     # must not trip its own validator when the backward recursion drops
