@@ -230,17 +230,17 @@ def aggregate_paths(cost: jnp.ndarray, img: jnp.ndarray,
                     neighbor_min: Callable = neighbor_min_1d) -> jnp.ndarray:
     """S = sum_r L_r, int32.  (SURVEY.md §3.1 HOT #1.)
 
-    FSGM_XLA_FUSED=1 groups directions into the four canonical families
+    By default directions are grouped into the four canonical families
     (down, up, right, left — up flips y, horizontals transpose), each as
     ONE fused scan (_family_scan): bit-exact vs the per-direction loop
-    (tests cover both) and ~35% less modeled HBM traffic.  Kept opt-in
-    for now: its first TPU validation runs coincided with a relay-backend
-    outage ("Unable to initialize backend 'axon': UNAVAILABLE"), so its
-    on-hardware compile time and speed are unmeasured — flip the default
-    once a clean TPU A/B confirms it.  The per-direction carry API for
+    (tests cover both) and ~35% less modeled HBM traffic.  TPU A/B
+    (2026-08-18, batch-8 flow bench, two runs each): fused 34.60/34.62 ms
+    vs per-direction 35.23/35.19 — a consistent ~1.7% end-to-end win with
+    comparable warm compile, so fused is the default; FSGM_XLA_FUSED=0
+    restores the per-direction loop.  The per-direction carry API for
     tiled execution lives in aggregate_one_path."""
     import os
-    if os.environ.get("FSGM_XLA_FUSED", "0") != "1":
+    if os.environ.get("FSGM_XLA_FUSED", "1") != "1":
         s = jnp.zeros(cost.shape, dtype=jnp.int32)
         for r in dirs:
             s = s + aggregate_one_path(cost, img, r, p1, p2, adaptive_p2,

@@ -134,12 +134,13 @@ def test_flow_blockwise_motion():
     assert np.mean(epe <= 1.0) > 0.8, f"EPE too high: {epe.mean()}"
 
 
-def test_fused_family_scan_flow_labels_exact(pair, monkeypatch):
-    """FSGM_XLA_FUSED=1 on the 2D-label (flow) path: the fused family
-    scan with make_neighbor_min_2d must match the per-direction golden
-    aggregation exactly (the stereo-path fused test alone would miss a
-    label-grid regression)."""
-    monkeypatch.setenv("FSGM_XLA_FUSED", "1")
+@pytest.mark.parametrize("fused", ["0", "1"])
+def test_fused_family_scan_flow_labels_exact(pair, fused, monkeypatch):
+    """Both XLA paths on the 2D-label (flow) side: the fused family
+    scan with make_neighbor_min_2d (default) and the per-direction loop
+    must match the per-direction golden aggregation exactly (the
+    stereo-path fused test alone would miss a label-grid regression)."""
+    monkeypatch.setenv("FSGM_XLA_FUSED", fused)
     img1, img2, _ = pair
     p = FlowParams(search_radius=2, levels=1, p1=7, p2=60)
     gold_cen1 = gs.census_transform(img1)

@@ -113,12 +113,16 @@ def test_full_s_and_wta_exact(pair, num_paths, adaptive):
     np.testing.assert_array_equal(d_int.astype(np.int64), inter["d_int"])
 
 
+@pytest.mark.parametrize("fused", ["0", "1"])
 @pytest.mark.parametrize("num_paths,adaptive", [(8, False), (16, True)])
-def test_fused_family_scan_exact(pair, num_paths, adaptive, monkeypatch):
-    """FSGM_XLA_FUSED=1 (family-fused lax.scan, TPU-compile-blocked as
-    default — see ops/aggregate.py) must stay bit-exact vs golden S."""
+def test_fused_family_scan_exact(pair, num_paths, adaptive, fused,
+                                 monkeypatch):
+    """Both XLA aggregation paths — the family-fused lax.scan (default
+    after the 2026-08-18 TPU A/B; see ops/aggregate.py) and the
+    per-direction loop (FSGM_XLA_FUSED=0) — must stay bit-exact vs
+    golden S."""
     import fsgm_tpu.ops.aggregate  # noqa: F401 — env read at call time
-    monkeypatch.setenv("FSGM_XLA_FUSED", "1")
+    monkeypatch.setenv("FSGM_XLA_FUSED", fused)
     img_l, img_r, _ = pair
     p = SGMParams(max_disp=16, p1=7, p2=60, num_paths=num_paths,
                   adaptive_p2=adaptive)
