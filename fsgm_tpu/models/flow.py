@@ -173,6 +173,23 @@ def _level_s(img1, cen1, cen2, base_u, base_v, params: FlowParams,
     pair (vmapping it folds both directions into one kernel-launch set)."""
     extw = params.window_extent
     nd = extw * extw
+    if backend == "pallas_tr":
+        # Transposed-layout sweeps (labels on sublanes): consume the
+        # label-MAJOR volume DIRECTLY — no butterfly transpose, and the
+        # label axis pads to a sublane multiple (81 -> 88) instead of the
+        # 128-lane pad (1.45x less sweep arithmetic).  The horizontal
+        # family's (W, L, H) feed is one XLA u8 transpose inside
+        # aggregate_paths_tr.
+        from fsgm_tpu.ops.pallas import aggregate_tr
+        cost_m = cost_volume_flow_major(
+            cen1, cen2, base_u, base_v, params.search_radius,
+            params.invalid_cost, identity_base=is_coarsest,
+            nd_pad=-(-nd // 8) * 8)
+        s_max = 8 * (params.invalid_cost + params.p2)
+        s = aggregate_tr.aggregate_paths_tr(
+            cost_m, img1, DIRS_8, params.p1, params.p2, params.adaptive_p2,
+            label_ext=extw, s_max=s_max)
+        return s[:, :, :nd]
     if backend == "pallas":
         # Label-MAJOR build + in-kernel butterfly transpose: materializing
         # the label-minor volume from XLA costs ~32 ms/level at KITTI size
@@ -337,8 +354,8 @@ def _fsgm_flow_both(pyr1, pyr2, cens1, cens2, params: FlowParams,
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
-def flow_fsgm(img1: jnp.ndarray, img2: jnp.ndarray, params: FlowParams,
-              backend: str = "xla", prior_flow=None):
+def _flow_fsgm_jit(img1: jnp.ndarray, img2: jnp.ndarray, params: FlowParams,
+                   backend: str = "xla", prior_flow=None):
     """Full fSGM: (H, W) uint8 pair -> (flow (H, W, 2) float32, valid
     (H, W) bool).
 
@@ -403,6 +420,16 @@ def flow_fsgm(img1: jnp.ndarray, img2: jnp.ndarray, params: FlowParams,
                                          bwd_stop=0, init_flow=init)
     valid = fb_check(flow, flow_bwd, params.fb_max_diff)
     return flow, valid
+
+
+def flow_fsgm(img1: jnp.ndarray, img2: jnp.ndarray, params: FlowParams,
+              backend: str = "xla", prior_flow=None):
+    """Public fSGM entry; see _flow_fsgm_jit.  Backend resolution
+    ('pallas' -> 'pallas_tr' unless FSGM_TR=0) happens outside the jit so
+    the resolved name is the cache key (mirrors models/stereo.py)."""
+    from fsgm_tpu.models.stereo import resolve_backend
+    return _flow_fsgm_jit(img1, img2, params, resolve_backend(backend),
+                          prior_flow)
 
 
 def flow_sequence(frames, params: FlowParams, backend: str = "xla",

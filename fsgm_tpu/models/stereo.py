@@ -22,6 +22,17 @@ from fsgm_tpu.ops import aggregate as agg
 from fsgm_tpu.ops import extract as ext
 
 
+def resolve_backend(backend: str) -> str:
+    """'pallas' resolves to the transposed-layout kernels ('pallas_tr',
+    the round-2 second-generation backend — labels on sublanes, ~1.5x;
+    see ops/pallas/aggregate_tr.py) unless FSGM_TR=0 pins the original
+    lane-major kernels."""
+    import os
+    if backend == "pallas" and os.environ.get("FSGM_TR", "1") != "0":
+        return "pallas_tr"
+    return backend  # explicit 'pallas_tr' / 'xla' pass through untouched
+
+
 def _aggregate(cost: jnp.ndarray, img: jnp.ndarray, params: SGMParams,
                backend: str) -> jnp.ndarray:
     if backend == "pallas":
@@ -33,11 +44,33 @@ def _aggregate(cost: jnp.ndarray, img: jnp.ndarray, params: SGMParams,
                                params.p2, params.adaptive_p2)
 
 
+def _s_volume_tr(cen_l: jnp.ndarray, cen_r: jnp.ndarray, img: jnp.ndarray,
+                 params: SGMParams, right_reference: bool = False
+                 ) -> jnp.ndarray:
+    """S via the transposed-layout sweeps: label-major cost volumes built
+    directly in each family's scan layout (no lane-major volume ever
+    materializes)."""
+    from fsgm_tpu.ops.cost import (cost_volume_stereo_major,
+                                   cost_volume_stereo_major_cols)
+    from fsgm_tpu.ops.pallas import aggregate_tr
+    cost_hlw = cost_volume_stereo_major(cen_l, cen_r, params.max_disp,
+                                        params.invalid_cost,
+                                        right_reference)
+    cost_wlh = cost_volume_stereo_major_cols(cen_l, cen_r, params.max_disp,
+                                             params.invalid_cost,
+                                             right_reference)
+    return aggregate_tr.aggregate_paths_tr(
+        cost_hlw, img, params.dirs, params.p1, params.p2,
+        params.adaptive_p2, s_max=params.s_invalid, cost_wlh=cost_wlh)
+
+
 def compute_s_volume(img_l: jnp.ndarray, img_r: jnp.ndarray,
                      params: SGMParams, backend: str = "xla") -> jnp.ndarray:
     """census -> cost -> aggregated S volume (H, W, D)."""
     cen_l = census_transform(img_l, params.census_window)
     cen_r = census_transform(img_r, params.census_window)
+    if backend == "pallas_tr":
+        return _s_volume_tr(cen_l, cen_r, img_l, params)
     if backend == "pallas":
         import os
         if os.environ.get("FSGM_PALLAS_COST", "0") == "1":
@@ -59,6 +92,9 @@ def right_disparity_reagg(cen_l: jnp.ndarray, cen_r: jnp.ndarray,
     """True LR re-aggregation (SURVEY.md §7.1 M3): full SGM over the
     right-reference cost volume guided by the right image, then WTA.
     Exact LR symmetry at 2x aggregation cost (vs the S-volume trick)."""
+    if backend == "pallas_tr":
+        return ext.wta(_s_volume_tr(cen_l, cen_r, img_r, params,
+                                    right_reference=True))
     cost_r = cost_volume_stereo_right(cen_l, cen_r, params.max_disp,
                                       params.invalid_cost)
     s_r = _aggregate(cost_r, img_r, params, backend)
@@ -94,9 +130,8 @@ def extract_disparity(s: jnp.ndarray, params: SGMParams,
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
-def stereo_sgm(img_l: jnp.ndarray, img_r: jnp.ndarray, params: SGMParams,
-               backend: str = "xla") -> jnp.ndarray:
-    """Full stereo pipeline: (H, W) uint8 pair -> (H, W) float32 disparity."""
+def _stereo_sgm_jit(img_l: jnp.ndarray, img_r: jnp.ndarray,
+                    params: SGMParams, backend: str) -> jnp.ndarray:
     s = compute_s_volume(img_l, img_r, params, backend)
     d_right = None
     if params.lr_check and params.lr_mode == "reagg":
@@ -105,3 +140,13 @@ def stereo_sgm(img_l: jnp.ndarray, img_r: jnp.ndarray, params: SGMParams,
         d_right = right_disparity_reagg(cen_l, cen_r, img_r, params,
                                         backend)
     return extract_disparity(s, params, backend, d_right=d_right)
+
+
+def stereo_sgm(img_l: jnp.ndarray, img_r: jnp.ndarray, params: SGMParams,
+               backend: str = "xla") -> jnp.ndarray:
+    """Full stereo pipeline: (H, W) uint8 pair -> (H, W) float32 disparity.
+
+    The env-dependent backend resolution ('pallas' -> 'pallas_tr' unless
+    FSGM_TR=0) happens OUTSIDE the jit so the resolved name is the cache
+    key — flipping the env between calls can never hit a stale trace."""
+    return _stereo_sgm_jit(img_l, img_r, params, resolve_backend(backend))

@@ -60,6 +60,88 @@ def cost_volume_stereo_right(cen_l: jnp.ndarray, cen_r: jnp.ndarray,
     return c.astype(jnp.uint8)
 
 
+def _stereo_major_planes(cen_ref: jnp.ndarray, cen_match: jnp.ndarray,
+                         max_disp: int, invalid_cost: int,
+                         sign: int) -> list[jnp.ndarray]:
+    """The D shifted-hamming (H, W) planes of the stereo cost volume.
+    sign=+1: left-reference (match at x-d); sign=-1: right-reference
+    (match at x+d).  Full-lane planes stacked by the callers — the same
+    vectorized-producer pattern as the flow label-major builder."""
+    h, w, _ = cen_ref.shape
+    planes = []
+    for d in range(max_disp):
+        if d == 0:
+            shifted, ok = cen_match, None
+        elif sign > 0:
+            shifted = jnp.concatenate(
+                [jnp.zeros((h, d) + cen_match.shape[2:], cen_match.dtype),
+                 cen_match[:, :w - d]], axis=1)
+        else:
+            shifted = jnp.concatenate(
+                [cen_match[:, d:],
+                 jnp.zeros((h, d) + cen_match.shape[2:], cen_match.dtype)],
+                axis=1)
+        ham = hamming(cen_ref, shifted)
+        if d == 0:
+            planes.append(ham.astype(jnp.uint8))
+            continue
+        xs = jnp.arange(w, dtype=jnp.int32)[None, :]
+        ok = xs >= d if sign > 0 else xs < w - d
+        planes.append(jnp.where(ok, ham, invalid_cost).astype(jnp.uint8))
+    return planes
+
+
+def cost_volume_stereo_major(cen_l: jnp.ndarray, cen_r: jnp.ndarray,
+                             max_disp: int, invalid_cost: int = 255,
+                             right_reference: bool = False) -> jnp.ndarray:
+    """(H, D, W) uint8 label-MAJOR stereo cost volume (disparity plane d
+    at [:, d, :]) — the vertical-family feed for the transposed-layout
+    sweeps (ops/pallas/aggregate_tr.py).  Same values as
+    cost_volume_stereo (/ _right when right_reference)."""
+    cen_ref, cen_match = (cen_r, cen_l) if right_reference \
+        else (cen_l, cen_r)
+    sign = -1 if right_reference else 1
+    return jnp.stack(_stereo_major_planes(cen_ref, cen_match, max_disp,
+                                          invalid_cost, sign), axis=1)
+
+
+def cost_volume_stereo_major_cols(cen_l: jnp.ndarray, cen_r: jnp.ndarray,
+                                  max_disp: int, invalid_cost: int = 255,
+                                  right_reference: bool = False
+                                  ) -> jnp.ndarray:
+    """(W, D, H) uint8 stereo cost volume — the horizontal-family feed
+    for the transposed sweeps (a horizontal image path is a vertical path
+    on the transposed image).  Built from transposed censuses so the
+    planes are produced vectorized along H; same values as
+    cost_volume_stereo[_right] with axes (1, 2, 0)."""
+    cen_ref, cen_match = (cen_r, cen_l) if right_reference \
+        else (cen_l, cen_r)
+    sign = -1 if right_reference else 1
+    cen_ref_t = jnp.swapaxes(cen_ref, 0, 1)
+    cen_match_t = jnp.swapaxes(cen_match, 0, 1)
+    w, h, _ = cen_ref_t.shape
+    planes = []
+    for d in range(max_disp):
+        if d == 0:
+            planes.append(hamming(cen_ref_t, cen_match_t)
+                          .astype(jnp.uint8))
+            continue
+        if sign > 0:
+            shifted = jnp.concatenate(
+                [jnp.zeros((d, h) + cen_match_t.shape[2:],
+                           cen_match_t.dtype), cen_match_t[:w - d]], axis=0)
+            ok = jnp.arange(w, dtype=jnp.int32)[:, None] >= d
+        else:
+            shifted = jnp.concatenate(
+                [cen_match_t[d:],
+                 jnp.zeros((d, h) + cen_match_t.shape[2:],
+                           cen_match_t.dtype)], axis=0)
+            ok = jnp.arange(w, dtype=jnp.int32)[:, None] < w - d
+        ham = hamming(cen_ref_t, shifted)
+        planes.append(jnp.where(ok, ham, invalid_cost).astype(jnp.uint8))
+    return jnp.stack(planes, axis=1)
+
+
 def _flow_cost_planes(cen1: jnp.ndarray, cen2: jnp.ndarray,
                       base_u: jnp.ndarray, base_v: jnp.ndarray,
                       radius: int, invalid_cost: int,

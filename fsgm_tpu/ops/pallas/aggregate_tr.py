@@ -1,0 +1,342 @@
+"""Pallas TPU kernels: TRANSPOSED-layout (labels-on-sublanes) SGM sweeps.
+
+Second-generation aggregation backend (round 2).  The original kernels
+(aggregate_pallas.py) put the label axis on the 128-wide LANE dimension,
+which makes the per-pixel global min over labels a 14-op lane-rotate
+tree — measured as ~half of all vector ops in the sweep, on a kernel that
+is VMEM-round-trip bound per op (NOTES-PERF "why aggregation is the
+floor").  This module lays the volume out (ROW, LABEL, X') instead:
+
+  * labels ride the SUBLANE axis, the image's scan-perpendicular axis
+    rides the lanes;
+  * the global min over labels becomes a shrinking 8-aligned overlapped
+    slice-halving over sublanes — total traffic ~2 array passes instead
+    of 14 (measured 1.67x on the down family: tools/trexp.py);
+  * the label-neighbor min (d±1 / 2D grid) becomes sublane shifts (same
+    cost as the lane shifts it replaces);
+  * the spatial predecessor shift (dx) becomes a lane roll + edge mask;
+  * HORIZONTAL paths are vertical paths on the transposed image: the
+    (0,±1) column scans reuse this same kernel on a (W, L, H) volume —
+    one kernel body serves all four canonical families (row-blocked so
+    the W-step grid amortizes per-step overhead);
+  * label counts only need to be multiples of 8 (sublane granularity),
+    not 128: the 81-label flow window pads to 88 instead of 128 — 1.45x
+    less arithmetic than the lane-major kernels.
+
+Layouts: vertical families consume cost (H, L, Wp) and accumulate
+S_v (H, L, Wp); horizontal families consume cost (Wp, L, Hp) and
+accumulate S_h (Wp, L, Hp).  The merge back to the extraction layout
+(H, W, L) is two XLA transposes + an add (~1 ms total at KITTI size —
+measured, tools/trexp2.py).
+
+Exactness contract: bit-identical to golden/sgm.py::aggregate_paths,
+ops/aggregate.py, and ops/pallas/aggregate_pallas.py (enforced by
+tests/unit/test_tr_parity.py).  Same reference capability as
+aggregate_pallas.py: SURVEY.md §2.1 "SGM path aggregation".
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fsgm_tpu.ops.pallas.aggregate_pallas import (
+    INF32, _interpret, _p2_effective, plan_dtypes, _compute_dtype)
+
+
+def sub_min(v: jnp.ndarray) -> jnp.ndarray:
+    """(L, X) -> (1, X): min over the sublane (label) axis.
+
+    Shrinking overlapped halvings: each step mins v[:a] with v[n-a:n]
+    where a = ceil(n/2) rounded up to sublane granularity (8), so both
+    slice offsets stay 8-aligned all the way down to vreg height (below
+    8 the sub-vreg slices lower as cheap sublane shifts on a tiny
+    array).  Overlap is harmless for a min; exact for any n."""
+    n = v.shape[0]
+    while n > 8:
+        a = -(-(-(-n // 2)) // 8) * 8
+        v = jnp.minimum(v[:a], v[n - a:n])
+        n = a
+    while n > 1:
+        a = -(-n // 2)
+        v = jnp.minimum(v[:a], v[n - a:n])
+        n = a
+    return v
+
+
+def make_tr_nmin_1d(p1: int, inf: int = INF32) -> Callable:
+    """min(L[d-1], L[d+1]) + P1 along the sublane (label) axis of (L, X)."""
+    def nmin(prev: jnp.ndarray) -> jnp.ndarray:
+        f = jnp.full((1,) + prev.shape[1:], inf, prev.dtype)
+        lo = jnp.concatenate([f, prev[:-1]], axis=0)
+        hi = jnp.concatenate([prev[1:], f], axis=0)
+        return jnp.minimum(lo, hi) + p1
+    return nmin
+
+
+def make_tr_nmin_2d(p1: int, ext: int, inf: int = INF32) -> Callable:
+    """4-neighbor min over the flattened (ext x ext) flow-label grid, +P1,
+    labels on the SUBLANE axis (label l at sublane l; rows beyond ext^2
+    are pad planes — never minimal, same semantics as the lane-major
+    kernel's 128-pad).  u-neighbors are sublane shifts by 1 masked at the
+    u-row wrap, v-neighbors sublane shifts by ext."""
+    def nmin(prev: jnp.ndarray) -> jnp.ndarray:
+        nl = prev.shape[0]
+        sub = jax.lax.broadcasted_iota(jnp.int32, prev.shape, 0)
+        f1 = jnp.full((1,) + prev.shape[1:], inf, prev.dtype)
+        fe = jnp.full((ext,) + prev.shape[1:], inf, prev.dtype)
+        left = jnp.concatenate([f1, prev[:-1]], axis=0)
+        right = jnp.concatenate([prev[1:], f1], axis=0)
+        left = jnp.where(sub % ext == 0, jnp.asarray(inf, prev.dtype), left)
+        right = jnp.where(sub % ext == ext - 1,
+                          jnp.asarray(inf, prev.dtype), right)
+        up = jnp.concatenate([fe, prev[:-ext]], axis=0)
+        down = jnp.concatenate([prev[ext:], fe], axis=0)
+        del nl
+        return jnp.minimum(jnp.minimum(left, right),
+                           jnp.minimum(up, down)) + p1
+    return nmin
+
+
+def _lane_shift(v: jnp.ndarray, dx: int, lane_iota, inf) -> jnp.ndarray:
+    """shifted[..., x] = v[..., x - dx]; inf where x - dx is out of range.
+    pltpu.roll is circular; the mask kills the wrapped lanes."""
+    if dx == 0:
+        return v
+    w = v.shape[-1]
+    r = pltpu.roll(v, dx % w, v.ndim - 1)
+    if dx > 0:
+        return jnp.where(lane_iota < dx, inf, r)
+    return jnp.where(lane_iota >= w + dx, inf, r)
+
+
+def tr_carry_units(dirs: Sequence[Tuple[int, int]]) -> int:
+    return sum(2 if abs(dy) == 2 else 1 for dy, _ in dirs)
+
+
+def _make_tr_kernel(dirs, nd: int, w: int, rb: int, reverse: bool,
+                    nmin: Callable, s_dtype, cdt, inf: int, carry_dt,
+                    n_steps: int, with_carry: bool):
+    """dirs: canonical (ady, dx), ady in {1, 2}.  Each grid step processes
+    `rb` rows of the canonicalized volume (row blocking amortizes per-step
+    overhead on the W-long horizontal scans); `reverse` flips both the
+    grid index map (in the caller) and the intra-block row order (here).
+
+    Per direction per row, ops on (nd, w) arrays: sublane-halving min
+    (~2 array-equivalents), neighbor min (4), lane roll + mask for dx (2
+    per shifted operand), best/l (6), carry store (1) — ~60% of the
+    lane-major kernel's op count; the win measured 1.67x (trexp.py)."""
+    offs, off = [], 0
+    for ady, _ in dirs:
+        offs.append(off)
+        off += 2 if ady == 2 else 1
+    n_units = off
+
+    def kernel(*refs):
+        if with_carry:
+            (c_ref, p2e_ref, s_ref, cin_ref,
+             s_out_ref, cout_ref, carry_ref) = refs
+        else:
+            c_ref, p2e_ref, s_ref, s_out_ref, carry_ref = refs
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            if with_carry:
+                carry_ref[...] = cin_ref[...].astype(carry_ref.dtype)
+            else:
+                carry_ref[...] = jnp.zeros(carry_ref.shape, carry_ref.dtype)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+        rows = range(rb - 1, -1, -1) if reverse else range(rb)
+        for r in rows:
+            acc = s_ref[r].astype(cdt)                    # (nd, w)
+            cost = c_ref[r].astype(cdt)
+            for k, (ady, dx) in enumerate(dirs):
+                o = offs[k]
+                prev = carry_ref[o + ady - 1].astype(cdt)
+                m = sub_min(prev)                         # (1, w)
+                nm = nmin(prev)                           # (nd, w)
+                if dx != 0:
+                    prev = _lane_shift(prev, dx, lane, inf)
+                    nm = _lane_shift(nm, dx, lane, inf)
+                    m = _lane_shift(m, dx, lane, inf)
+                mp = m + p2e_ref[r, k][None, :].astype(cdt)
+                best = jnp.minimum(jnp.minimum(prev, nm), mp)
+                # where x-dx is outside, prev=nm=m=INF -> l = cost
+                # (+INF-INF): the golden edge rule, mask-free
+                l = cost + best - m
+                if ady == 2:
+                    carry_ref[o + 1] = carry_ref[o]
+                carry_ref[o] = l.astype(carry_dt)
+                acc = acc + l
+            s_out_ref[r] = acc.astype(s_dtype)
+
+        if with_carry:
+            @pl.when(i == n_steps - 1)
+            def _():
+                cout_ref[...] = carry_ref[...]
+
+    return kernel, n_units
+
+
+def tr_family_sweep(cost_t: jnp.ndarray, img: jnp.ndarray,
+                    family: Sequence[Tuple[int, int]], p1: int, p2: int,
+                    adaptive_p2: bool, s_t: jnp.ndarray,
+                    label_ext: int | None = None,
+                    init_carry: jnp.ndarray | None = None,
+                    return_carry: bool = False,
+                    img_above2: jnp.ndarray | None = None,
+                    img_below2: jnp.ndarray | None = None,
+                    row_block: int | None = None):
+    """One vertical-family pass in transposed layout.
+
+    cost_t: (H', L, W') u8 — the CANONICALIZED volume (for horizontal
+    image paths the caller passes the transposed-image volume (Wp, L, Hp)
+    and directions mapped (0,dx) -> (dx,0)).  img: (H', W') matching the
+    canonical frame (used for adaptive P2).  s_t: (H', L, W') accumulator,
+    aliased in place.  family: all dy>0 or all dy<0.
+
+    init_carry/return_carry expose the (tr_carry_units, L, W') boundary
+    state exactly like aggregate_pallas.row_family_sweep (zeros = start
+    of image; a real carry continues across a tile seam)."""
+    assert all(dy > 0 for dy, _ in family) or \
+        all(dy < 0 for dy, _ in family), family
+    reverse = family[0][0] < 0
+    h, nd, w = cost_t.shape
+    n_dirs = len(family)
+    cdt, inf = _compute_dtype()
+    nmin = (make_tr_nmin_1d(p1, inf) if label_ext is None
+            else make_tr_nmin_2d(p1, label_ext, inf))
+    _, carry_dt = plan_dtypes(p2, None)
+    # NOTE: _p2_effective takes the SIGNED dy (the predecessor offset);
+    # only the kernel's scan order is canonicalized.
+    p2e = jnp.stack([_p2_effective(img, dy, dx, p1, p2, adaptive_p2,
+                                   img_above2, img_below2)
+                     for dy, dx in family], axis=1)       # (H', n, W')
+    canon = [(abs(dy), dx) for dy, dx in family]
+
+    if row_block is None:
+        row_block = int(os.environ.get("FSGM_TR_RB", "8"))
+    rb = row_block if h % row_block == 0 else 1
+    n_steps = h // rb
+    blk = (lambda i: n_steps - 1 - i) if reverse else (lambda i: i)
+
+    with_carry = init_carry is not None or return_carry
+    kernel, n_units = _make_tr_kernel(canon, nd, w, rb, reverse, nmin,
+                                      s_t.dtype, cdt, inf, carry_dt,
+                                      n_steps, with_carry)
+    in_specs = [
+        pl.BlockSpec((rb, nd, w), lambda i: (blk(i), 0, 0)),
+        pl.BlockSpec((rb, n_dirs, w), lambda i: (blk(i), 0, 0)),
+        pl.BlockSpec((rb, nd, w), lambda i: (blk(i), 0, 0)),
+    ]
+    out_spec = pl.BlockSpec((rb, nd, w), lambda i: (blk(i), 0, 0))
+    scratch = [pltpu.VMEM((n_units, nd, w), carry_dt)]
+    cp = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+
+    if not with_carry:
+        return pl.pallas_call(
+            kernel, grid=(n_steps,), in_specs=in_specs, out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((h, nd, w), s_t.dtype),
+            scratch_shapes=scratch, input_output_aliases={2: 0},
+            compiler_params=cp, interpret=_interpret(),
+        )(cost_t, p2e, s_t)
+
+    if init_carry is None:
+        init_carry = jnp.zeros((n_units, nd, w), carry_dt)
+    else:
+        assert init_carry.shape == (n_units, nd, w), (
+            init_carry.shape, (n_units, nd, w))
+        init_carry = init_carry.astype(carry_dt)
+    whole = pl.BlockSpec((n_units, nd, w), lambda i: (0, 0, 0))
+    s_out, carry_out = pl.pallas_call(
+        kernel, grid=(n_steps,), in_specs=in_specs + [whole],
+        out_specs=[out_spec, whole],
+        out_shape=[jax.ShapeDtypeStruct((h, nd, w), s_t.dtype),
+                   jax.ShapeDtypeStruct((n_units, nd, w), carry_dt)],
+        scratch_shapes=scratch, input_output_aliases={2: 0},
+        compiler_params=cp, interpret=_interpret(),
+    )(cost_t, p2e, s_t, init_carry)
+    if return_carry:
+        return s_out, carry_out
+    return s_out
+
+
+def _pad8(n: int) -> int:
+    return -(-n // 8) * 8
+
+
+def aggregate_paths_tr(cost_hlw: jnp.ndarray, img: jnp.ndarray,
+                       dirs: Sequence[Tuple[int, int]], p1: int, p2: int,
+                       adaptive_p2: bool = False,
+                       label_ext: int | None = None,
+                       s_max: int | None = None,
+                       cost_wlh: jnp.ndarray | None = None) -> jnp.ndarray:
+    """S = sum_r L_r via transposed-layout family sweeps.
+
+    cost_hlw: (H, L, W) u8 label-MAJOR cost (L may exceed the true label
+    count with invalid-cost pad planes — e.g. flow's 81 padded to 88).
+    cost_wlh: the same values laid out (W, L, H) for the horizontal
+    family (built directly by cost_volume_stereo_major_cols, or derived
+    here by one XLA transpose if omitted).  Returns (H, W, L) int16/int32
+    — same contract as aggregate_pallas.aggregate_paths."""
+    h, nd, w = cost_hlw.shape
+    s_dtype, _ = plan_dtypes(p2, s_max)
+
+    down = [r for r in dirs if r[0] > 0]
+    up = [r for r in dirs if r[0] < 0]
+    horiz = [r for r in dirs if r[0] == 0]
+
+    s_v = None
+    if down or up:
+        s_v = jnp.zeros((h, nd, w), s_dtype)
+        if down:
+            s_v = tr_family_sweep(cost_hlw, img, down, p1, p2, adaptive_p2,
+                                  s_v, label_ext)
+        if up:
+            s_v = tr_family_sweep(cost_hlw, img, up, p1, p2, adaptive_p2,
+                                  s_v, label_ext)
+
+    s_h = None
+    if horiz:
+        # Horizontal paths on I are vertical paths on I^T.  Both pads are
+        # NEUTRAL zero-cost regions (all-zero prev rows make the
+        # recurrence degenerate to L = C = 0, the start-of-image
+        # semantics), so scans crossing into/out of them are exact and
+        # the pad slices of S are discarded:
+        #   * axis 0 (the scan axis, length W) pads to the row-block
+        #     multiple so the grid isn't W tiny steps;
+        #   * axis 2 (lanes, length H) pads to sublane granularity.
+        hp, wp = _pad8(h), _pad8(w)
+        if cost_wlh is None:
+            cost_wlh = jnp.transpose(cost_hlw, (2, 1, 0))
+        pw = wp - cost_wlh.shape[0]
+        ph = hp - cost_wlh.shape[2]
+        if pw or ph:
+            cost_wlh = jnp.pad(cost_wlh, ((0, pw), (0, 0), (0, ph)))
+        imgt = jnp.pad(img, ((0, hp - h), (0, wp - w)), mode="edge").T
+        s_h = jnp.zeros((wp, nd, hp), s_dtype)
+        fwd = [(dx, 0) for dy, dx in horiz if dx > 0]
+        bwd = [(dx, 0) for dy, dx in horiz if dx < 0]
+        if fwd:
+            s_h = tr_family_sweep(cost_wlh, imgt, fwd, p1, p2, adaptive_p2,
+                                  s_h, label_ext)
+        if bwd:
+            s_h = tr_family_sweep(cost_wlh, imgt, bwd, p1, p2, adaptive_p2,
+                                  s_h, label_ext)
+        s_h = s_h[:w]
+
+    # merge to the (H, W, L) extraction layout (XLA transposes: ~0.5 ms
+    # each at KITTI size — tools/trexp2.py)
+    if s_v is not None and s_h is not None:
+        return (jnp.transpose(s_v, (0, 2, 1))
+                + jnp.transpose(s_h, (2, 0, 1))[:h])
+    if s_v is not None:
+        return jnp.transpose(s_v, (0, 2, 1))
+    return jnp.transpose(s_h, (2, 0, 1))[:h]

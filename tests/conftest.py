@@ -14,6 +14,11 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("FSGM_PALLAS_INTERPRET", "1")
+# Tests written against backend="pallas" must keep exercising the
+# lane-major kernels even now that the runtime default resolves 'pallas'
+# to the transposed backend; tr coverage uses explicit 'pallas_tr'
+# (tests/unit/test_tr_parity.py and friends).
+os.environ.setdefault("FSGM_TR", "0")
 
 import jax  # noqa: E402
 

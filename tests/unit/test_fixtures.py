@@ -58,7 +58,7 @@ def test_golden_flow_matches_frozen(name):
 
 
 @pytest.mark.parametrize("name", sorted(ff.STEREO_CASES))
-@pytest.mark.parametrize("backend", ["xla", "pallas"])
+@pytest.mark.parametrize("backend", ["xla", "pallas", "pallas_tr"])
 def test_pipeline_stereo_matches_frozen(name, backend):
     """The jit pipeline vs the FROZEN fixture (not the live oracle):
     catches correlated drift that regenerating goldens would mask."""

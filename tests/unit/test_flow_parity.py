@@ -51,7 +51,7 @@ def test_pyramid_exact(pair):
         np.testing.assert_array_equal(np.asarray(o), g)
 
 
-@pytest.mark.parametrize("backend", ["xla", "pallas"])
+@pytest.mark.parametrize("backend", ["xla", "pallas", "pallas_tr"])
 def test_flow_full_close_to_golden(pair, backend):
     img1, img2, _ = pair
     p = FlowParams(search_radius=3, levels=3, p1=7, p2=60)
@@ -65,7 +65,7 @@ def test_flow_full_close_to_golden(pair, backend):
                                atol=1e-3)
 
 
-@pytest.mark.parametrize("backend", ["xla", "pallas"])
+@pytest.mark.parametrize("backend", ["xla", "pallas", "pallas_tr"])
 @pytest.mark.parametrize("mode", ["cheap", "single", "half"])
 def test_flow_backward_mode_parity(pair, backend, mode):
     # fb_backward variants change only the backward pass feeding fb_check;

@@ -65,7 +65,7 @@ def test_cost_volume_right_exact(pair):
     np.testing.assert_array_equal(np.asarray(ours).astype(np.int64), gold)
 
 
-@pytest.mark.parametrize("backend", ["xla", "pallas"])
+@pytest.mark.parametrize("backend", ["xla", "pallas", "pallas_tr"])
 def test_lr_reagg_pipeline_close(pair, backend):
     """lr_mode='reagg' (true right re-aggregation, SURVEY.md M3): validity
     mask exact vs golden, valid values within float tolerance, and the
