@@ -214,12 +214,14 @@ def main() -> None:
     backend = os.environ.get("FSGM_BENCH_BACKEND")
     if backend is None:
         backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
-        # measured crossover (NOTES-PERF "Flow backend is batch-dependent"):
-        # the XLA scan path vectorizes the vmapped frame batch INTO each
-        # scan step and works at 81 labels instead of 128 padded lanes, so
-        # batched flow favors XLA (35.5 vs 51 ms/frame at batch 8) while
-        # single-frame favors the Pallas sweeps (55 vs 89 ms device)
-        if cfg in ("flow", "4kflow") and batch >= 4 and backend == "pallas":
+        # The round-2 lane-major kernels lost batched flow to the XLA scan
+        # (35.5 vs 51 ms/frame at batch 8: 128-lane pad waste).  The
+        # transposed-layout default ('pallas' -> pallas_tr) pads 81 -> 88
+        # labels and wins every batch size (27.9 ms at batch 8); only the
+        # pinned lane-major backend keeps the XLA crossover.
+        if (cfg in ("flow", "4kflow") and batch >= 4
+                and backend == "pallas"
+                and os.environ.get("FSGM_TR", "1") == "0"):
             backend = "xla"
     repeats = 6
 

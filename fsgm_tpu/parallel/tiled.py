@@ -196,8 +196,65 @@ class _PallasFamilyBackend:
         return s[:, : self.w] if self.wp != self.w else s
 
 
+class _TrFamilyBackend:
+    """Family sweeps via the transposed-layout kernels
+    (ops/pallas/aggregate_tr — the round-2 default single-chip backend):
+    the cost arrives LABEL-MAJOR (Ht, L, W) with L already padded to
+    sublane granularity, the S accumulator and the ppermuted carries stay
+    label-major across the wavefront, and finish() transposes to the
+    (Ht, W, L) extraction layout, folding in the row-local horizontal
+    families (vertical scans on the transposed tile, handled whole by
+    aggregate_paths_tr)."""
+
+    def __init__(self, cost_m, img_t, above2, below2, p1, p2, adaptive,
+                 label_ext, s_max):
+        from fsgm_tpu.ops.pallas import aggregate_pallas as pagg
+        from fsgm_tpu.ops.pallas import aggregate_tr as ptr
+        self.ptr = ptr
+        self.p1, self.p2, self.adaptive = p1, p2, adaptive
+        self.label_ext, self.s_max = label_ext, s_max
+        self.cost, self.img = cost_m, img_t
+        self.above2, self.below2 = above2, below2
+        self.ht, self.nd, self.w = cost_m.shape
+        self.s_dtype, self.carry_dt = pagg.plan_dtypes(p2, s_max)
+        self.horiz = []
+
+    def zeros_s(self, rows=None):
+        ht = self.ht if rows is None else rows
+        return jnp.zeros((ht, self.nd, self.w), self.s_dtype)
+
+    def zero_carry(self, family):
+        units = self.ptr.tr_carry_units(family)
+        return jnp.zeros((units, self.nd, self.w), self.carry_dt)
+
+    def horiz_sweep(self, s, r):
+        self.horiz.append(r)            # row-local: folded in at finish()
+        return s
+
+    def family_sweep(self, s, family, carry, rows=slice(None)):
+        down = family[0][0] > 0
+        return self.ptr.tr_family_sweep(
+            self.cost[rows], self.img[rows], family, self.p1, self.p2,
+            self.adaptive, s, label_ext=self.label_ext, init_carry=carry,
+            return_carry=True,
+            img_above2=self.above2 if down else None,
+            img_below2=None if down else self.below2)
+
+    def finish(self, s):
+        out = jnp.transpose(s, (0, 2, 1))           # -> (Ht, W, L)
+        if self.horiz:
+            sh = self.ptr.aggregate_paths_tr(
+                self.cost, self.img, self.horiz, self.p1, self.p2,
+                self.adaptive, label_ext=self.label_ext, s_max=self.s_max)
+            out = out + sh.astype(out.dtype)
+        return out
+
+
 def _make_backend(backend, cost_t, img_t, above2, below2, p1, p2, adaptive,
                   neighbor_min, label_ext, s_max):
+    if backend == "pallas_tr":
+        return _TrFamilyBackend(cost_t, img_t, above2, below2, p1, p2,
+                                adaptive, label_ext, s_max)
     if backend == "pallas":
         return _PallasFamilyBackend(cost_t, img_t, above2, below2, p1, p2,
                                     adaptive, label_ext, s_max)
@@ -341,26 +398,44 @@ def _stereo_tile(img_l_t, img_r_t, params: SGMParams, dist: DistParams,
         above2 = guide_ext[halo - 2: halo]
         ht = guide_t.shape[0]
         below2 = guide_ext[halo + ht: halo + ht + 2]
+        nd = cost_v.shape[2]
+        if backend == "pallas_tr":
+            # the tr backends consume the LABEL-MAJOR layout; pad labels
+            # to sublane granularity with invalid-cost planes (never
+            # minimal — aggregate_tr pad-plane contract) and slice after
+            ndp = -(-nd // 8) * 8
+            cost_v = jnp.transpose(cost_v, (0, 2, 1))
+            if ndp != nd:
+                cost_v = jnp.pad(cost_v, ((0, 0), (0, ndp - nd), (0, 0)),
+                                 constant_values=params.invalid_cost)
         if dist.tile_mode == "exact" and t > 1:
-            return _aggregate_tiled_exact(
+            s = _aggregate_tiled_exact(
                 cost_v, guide_t, above2, below2, params.dirs, params.p1,
                 params.p2, params.adaptive_p2, axis, t, backend=backend,
                 s_max=params.s_invalid)
-        if t > 1:
+        elif t > 1:
             margin = dist.margin or forgetting_margin(
                 params.p1, params.p2, cmax=params.invalid_cost)
-            return _aggregate_tiled_fast(
+            s = _aggregate_tiled_fast(
                 cost_v, guide_t, above2, below2, params.dirs, params.p1,
                 params.p2, params.adaptive_p2, axis, t, margin,
                 backend=backend, s_max=params.s_invalid)
-        if backend == "pallas":
+        elif backend == "pallas_tr":
+            from fsgm_tpu.ops.pallas import aggregate_tr as ptr
+            s = ptr.aggregate_paths_tr(cost_v, guide_t, params.dirs,
+                                       params.p1, params.p2,
+                                       params.adaptive_p2,
+                                       s_max=params.s_invalid)
+        elif backend == "pallas":
             from fsgm_tpu.ops.pallas import aggregate_pallas as pagg
-            return pagg.aggregate_paths(cost_v, guide_t, params.dirs,
-                                        params.p1, params.p2,
-                                        params.adaptive_p2,
-                                        s_max=params.s_invalid)
-        return agg.aggregate_paths(cost_v, guide_t, params.dirs, params.p1,
-                                   params.p2, params.adaptive_p2)
+            s = pagg.aggregate_paths(cost_v, guide_t, params.dirs,
+                                     params.p1, params.p2,
+                                     params.adaptive_p2,
+                                     s_max=params.s_invalid)
+        else:
+            s = agg.aggregate_paths(cost_v, guide_t, params.dirs, params.p1,
+                                    params.p2, params.adaptive_p2)
+        return s[:, :, :nd] if s.shape[2] != nd else s
 
     s = aggregate(cost, img_l_t, il_ext)
 
@@ -455,27 +530,21 @@ def _stereo_tile_tx(img_l_t, img_r_t, params: SGMParams, dist: DistParams,
 
 
 def _resolve_backend(backend: str) -> str:
-    if backend != "auto":
-        return backend
-    return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    """'auto' -> platform pick; 'pallas' -> the transposed-layout default
+    unless FSGM_TR=0 (models.stereo.resolve_backend).  Called OUTSIDE the
+    jitted entry points so the resolved name is the jit cache key."""
+    from fsgm_tpu.models.stereo import resolve_backend
+    if backend == "auto":
+        backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    return resolve_backend(backend)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def stereo_sgm_sharded(img_l, img_r, params: SGMParams, dist: DistParams,
-                       mesh: jax.sharding.Mesh, backend: str = "auto"):
-    """Batched sharded stereo: (F, H, W) uint8 pairs -> (F, H, W) float32.
-
-    F is sharded over mesh axis "frame" (DP), rows over "ty" and columns
-    over "tx" (spatial; omit "tx" from the mesh for row-only tiling).
-    H (resp. W) must divide evenly by the "ty" (resp. "tx") axis size.
-    backend 'pallas' runs the fused family-sweep kernels per tile (the
-    production TPU path); 'xla' the lax.scan fallback; 'auto' picks by
-    platform.  Column tiling uses the margin-window construction
-    (_stereo_tile_tx): bit-exact at the auto margin in BOTH tile modes.
-    """
+def _stereo_sgm_sharded_jit(img_l, img_r, params: SGMParams,
+                            dist: DistParams, mesh: jax.sharding.Mesh,
+                            backend: str):
     t = mesh.shape["ty"]
     tx = mesh.shape.get("tx", 1)
-    backend = _resolve_backend(backend)
 
     def body(il, ir):  # local shards: (F_loc, Ht, Wt)
         if tx > 1:
@@ -494,3 +563,19 @@ def stereo_sgm_sharded(img_l, img_r, params: SGMParams, dist: DistParams,
     fn = jax.shard_map(body, mesh=mesh, in_specs=(spec, spec),
                        out_specs=spec, check_vma=False)
     return fn(img_l, img_r)
+
+
+def stereo_sgm_sharded(img_l, img_r, params: SGMParams, dist: DistParams,
+                       mesh: jax.sharding.Mesh, backend: str = "auto"):
+    """Batched sharded stereo: (F, H, W) uint8 pairs -> (F, H, W) float32.
+
+    F is sharded over mesh axis "frame" (DP), rows over "ty" and columns
+    over "tx" (spatial; omit "tx" from the mesh for row-only tiling).
+    H (resp. W) must divide evenly by the "ty" (resp. "tx") axis size.
+    backend 'pallas' runs the fused family-sweep kernels per tile (the
+    production TPU path; resolves to the transposed-layout kernels unless
+    FSGM_TR=0); 'xla' the lax.scan fallback; 'auto' picks by platform.
+    Column tiling uses the margin-window construction (_stereo_tile_tx):
+    bit-exact at the auto margin in BOTH tile modes."""
+    return _stereo_sgm_sharded_jit(img_l, img_r, params, dist, mesh,
+                                   _resolve_backend(backend))

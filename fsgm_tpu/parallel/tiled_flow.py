@@ -61,7 +61,17 @@ def _flow_level_tile(i1_t, i2_full, prior_flow_t, params: FlowParams,
     flow_ext = _exchange_row_halo(prior_flow_t, r, axis, t)
     base_u = jnp.rint(flow_ext[..., 0]).astype(jnp.int32)
     base_v = jnp.rint(flow_ext[..., 1]).astype(jnp.int32)
-    if backend == "pallas":
+    if backend == "pallas_tr":
+        # transposed-layout sweeps consume the label-MAJOR volume directly
+        # (no butterfly transpose; labels pad to sublane granularity —
+        # 81 -> 88 instead of the 128-lane pad)
+        from fsgm_tpu.ops.cost import cost_volume_flow_major
+        ext_w0 = params.window_extent
+        cost = cost_volume_flow_major(
+            cen1, cen2, base_u, base_v, params.search_radius,
+            params.invalid_cost, y_offset=y0, identity_base=is_coarsest,
+            nd_pad=-(-ext_w0 * ext_w0 // 8) * 8)
+    elif backend == "pallas":
         # label-major build + butterfly transpose (see models/flow.py /
         # transpose_pallas.py: the label-minor stack scalarizes into
         # custom-call operands, ~32 ms/level at KITTI size).  The sweeps
@@ -99,6 +109,11 @@ def _flow_level_tile(i1_t, i2_full, prior_flow_t, params: FlowParams,
                                   axis, t, margin, neighbor_min=nm,
                                   backend=backend, label_ext=ext_w,
                                   s_max=s_max)
+    elif backend == "pallas_tr":
+        from fsgm_tpu.ops.pallas import aggregate_tr as ptr
+        s = ptr.aggregate_paths_tr(cost, i1_t, DIRS_8, params.p1, params.p2,
+                                   params.adaptive_p2, label_ext=ext_w,
+                                   s_max=s_max)
     elif backend == "pallas":
         from fsgm_tpu.ops.pallas import aggregate_pallas as pagg
         s = pagg.aggregate_paths(cost, i1_t, DIRS_8, params.p1, params.p2,
@@ -108,7 +123,7 @@ def _flow_level_tile(i1_t, i2_full, prior_flow_t, params: FlowParams,
         s = agg.aggregate_paths(cost, i1_t, DIRS_8, params.p1, params.p2,
                                 params.adaptive_p2, neighbor_min=nm)
 
-    if backend == "pallas":
+    if backend in ("pallas", "pallas_tr"):
         s = s[:, :, :ext_w * ext_w]     # drop the invalid-cost pad labels
 
     du, dv, l_int = mflow.wta_flow(s, params.search_radius)
@@ -203,15 +218,10 @@ def _fb_check_tiled(flow_fwd_t, flow_bwd_full, y0, max_diff):
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def flow_fsgm_sharded(img1, img2, params: FlowParams, dist: DistParams,
-                      mesh: jax.sharding.Mesh, backend: str = "auto"):
-    """Batched sharded flow: (F, H, W) uint8 pairs ->
-    (flow (F, H, W, 2) f32, valid (F, H, W) bool).
-
-    F over "frame", rows over "ty"; H must divide by ty * 2^(levels-1)."""
-    from fsgm_tpu.parallel.tiled import _resolve_backend
+def _flow_fsgm_sharded_jit(img1, img2, params: FlowParams,
+                           dist: DistParams, mesh: jax.sharding.Mesh,
+                           backend: str):
     t = mesh.shape["ty"]
-    backend = _resolve_backend(backend)
 
     def body(i1, i2):
         run = functools.partial(_flow_tile, params=params, dist=dist,
@@ -224,3 +234,16 @@ def flow_fsgm_sharded(img1, img2, params: FlowParams, dist: DistParams,
                                   P("frame", "ty", None)),
                        check_vma=False)
     return fn(img1, img2)
+
+
+def flow_fsgm_sharded(img1, img2, params: FlowParams, dist: DistParams,
+                      mesh: jax.sharding.Mesh, backend: str = "auto"):
+    """Batched sharded flow: (F, H, W) uint8 pairs ->
+    (flow (F, H, W, 2) f32, valid (F, H, W) bool).
+
+    F over "frame", rows over "ty"; H must divide by ty * 2^(levels-1).
+    Backend resolution (env-dependent) happens outside the jit so the
+    resolved name is the cache key (mirrors stereo_sgm_sharded)."""
+    from fsgm_tpu.parallel.tiled import _resolve_backend
+    return _flow_fsgm_sharded_jit(img1, img2, params, dist, mesh,
+                                  _resolve_backend(backend))

@@ -60,11 +60,14 @@ def test_fast_tiled_close(pair):
     assert mismatch < 0.05, f"fast-mode mismatch {mismatch:.3f}"
 
 
+@pytest.mark.parametrize("backend", ["pallas", "pallas_tr"])
 @pytest.mark.parametrize("frame,ty", [(1, 4), (2, 2)])
 @pytest.mark.parametrize("num_paths,adaptive", [(8, False), (16, True)])
-def test_exact_tiled_pallas_backend(pair, frame, ty, num_paths, adaptive):
+def test_exact_tiled_pallas_backend(pair, frame, ty, num_paths, adaptive,
+                                    backend):
     """Tiled wavefront running the fused Pallas family sweeps per tile
-    (carry init/export through the kernels) == single-device result."""
+    (carry init/export through the kernels) == single-device result —
+    both kernel generations (lane-major and transposed-layout)."""
     img_l, img_r, _ = pair
     p = SGMParams(max_disp=16, p1=7, p2=60, num_paths=num_paths,
                   adaptive_p2=adaptive)
@@ -74,12 +77,13 @@ def test_exact_tiled_pallas_backend(pair, frame, ty, num_paths, adaptive):
     ir = jnp.asarray(np.stack([img_r] * frame))
     dist = DistParams(tiles_y=ty, frame_shards=frame, tile_mode="exact")
     out = np.asarray(stereo_sgm_sharded(il, ir, p, dist, _mesh(frame, ty),
-                                        "pallas"))
+                                        backend))
     for f in range(frame):
         np.testing.assert_array_equal(out[f], ref)
 
 
-def test_fast_tiled_pallas_backend(pair):
+@pytest.mark.parametrize("backend", ["pallas", "pallas_tr"])
+def test_fast_tiled_pallas_backend(pair, backend):
     """Fast mode through the Pallas sweeps, auto margin -> bit-exact
     whenever tiles are taller than the forgetting bound (2x24 rows here is
     NOT, so compare against the XLA fast mode instead: both backends must
@@ -90,11 +94,11 @@ def test_fast_tiled_pallas_backend(pair):
     ref = np.asarray(stereo_sgm_sharded(
         img_l[None], img_r[None], p, dist, _mesh(1, 4), "xla"))[0]
     out = np.asarray(stereo_sgm_sharded(
-        img_l[None], img_r[None], p, dist, _mesh(1, 4), "pallas"))[0]
+        img_l[None], img_r[None], p, dist, _mesh(1, 4), backend))[0]
     np.testing.assert_array_equal(out, ref)
 
 
-@pytest.mark.parametrize("backend", ["xla", "pallas"])
+@pytest.mark.parametrize("backend", ["xla", "pallas", "pallas_tr"])
 def test_exact_tiled_lr_reagg(pair, backend):
     """lr_mode='reagg' under tiling: the right-volume wavefront must also
     be bit-exact vs the single-device reagg pipeline."""
@@ -178,7 +182,7 @@ def test_column_tiled_variants(pair, num_paths, adaptive, lr_mode):
     np.testing.assert_array_equal(out, ref)
 
 
-@pytest.mark.parametrize("backend", ["pallas"])
+@pytest.mark.parametrize("backend", ["pallas", "pallas_tr"])
 def test_column_tiled_pallas_backend(pair, backend):
     """tx windows through the fused Pallas sweeps (interpret mode)."""
     img_l, img_r, _ = pair

@@ -21,7 +21,7 @@ def _mesh(frame, ty):
     return jax.make_mesh((frame, ty), ("frame", "ty"), devices=devs)
 
 
-@pytest.mark.parametrize("backend", ["xla", "pallas"])
+@pytest.mark.parametrize("backend", ["xla", "pallas", "pallas_tr"])
 @pytest.mark.parametrize("frame,ty", [(1, 4), (2, 2)])
 def test_tiled_flow_exact(frame, ty, backend):
     img1, img2, _, _ = blockwise_flow_pair(48, 64, 3, seed=8)
