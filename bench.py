@@ -80,7 +80,7 @@ def _stage_roofline(params, h, w, d, backend, iters=32) -> None:
     il, ir, _ = random_dot_stereo(h, w, d, seed=0)
     il, ir = jnp.asarray(il), jnp.asarray(ir)
 
-    if backend == "pallas":
+    if backend in ("pallas", "pallas_tr"):
         from fsgm_tpu.ops.pallas import aggregate_pallas as pagg
         s_dtype, _cdt = pagg.plan_dtypes(params.p2, params.s_invalid)
     else:
@@ -97,6 +97,17 @@ def _stage_roofline(params, h, w, d, backend, iters=32) -> None:
                                   params.invalid_cost)
 
     def agg_family(cost_v, img_v, which):
+        if backend == "pallas_tr":
+            # transposed-layout sweeps: feed the label-major volume (the
+            # per-stage transpose is counted in — it is part of the real
+            # pipeline's cost-build in this layout)
+            from fsgm_tpu.ops.pallas import aggregate_tr as ptr
+            fams = {"down": [r for r in params.dirs if r[0] > 0],
+                    "up": [r for r in params.dirs if r[0] < 0],
+                    "cols": [r for r in params.dirs if r[0] == 0]}[which]
+            return ptr.aggregate_paths_tr(
+                jnp.transpose(cost_v, (0, 2, 1)), img_v, fams, params.p1,
+                params.p2, params.adaptive_p2, s_max=params.s_invalid)
         if backend == "pallas":
             from fsgm_tpu.ops.pallas import aggregate_pallas as pagg
             costp, imgp = pagg.pad_inputs(cost_v, img_v)
@@ -283,7 +294,8 @@ def main() -> None:
           f"vs_SoL={mpds / SOL_MPDS:.1%}", file=sys.stderr)
 
     if os.environ.get("FSGM_BENCH_STAGES", "0") == "1" and cfg not in ("flow", "4kflow"):
-        _stage_roofline(params, h, w, d, backend)
+        from fsgm_tpu.models.stereo import resolve_backend
+        _stage_roofline(params, h, w, d, resolve_backend(backend))
 
 
 if __name__ == "__main__":
