@@ -138,6 +138,40 @@ def subpixel_flow(s: jnp.ndarray, l_int: jnp.ndarray, radius: int):
     return du_off, dv_off
 
 
+def wta_flow_major(s: jnp.ndarray, radius: int):
+    """wta_flow on label-MAJOR (H, L, W) S (argmin over axis 1)."""
+    extw = 2 * radius + 1
+    l = jnp.argmin(s, axis=1).astype(jnp.int32)
+    du = l % extw - radius
+    dv = l // extw - radius
+    return du, dv, l
+
+
+def subpixel_flow_major(s: jnp.ndarray, l_int: jnp.ndarray, radius: int):
+    """subpixel_flow on label-MAJOR (H, L, W) S: the one-hot label
+    reductions run over the non-minor axis 1 (W-contiguous planes)."""
+    extw = 2 * radius + 1
+    nl = s.shape[1]
+    big = jnp.int32(1 << 24)
+    lab = jnp.arange(nl, dtype=jnp.int32)[None, :, None]
+    sv = s.astype(jnp.int32)
+    iu = l_int % extw
+    iv = l_int // extw
+
+    def sel(target):
+        return jnp.min(jnp.where(lab == target[:, None, :], sv, big), axis=1)
+
+    iuc = jnp.clip(iu, 1, extw - 2)
+    base_u = iv * extw + iuc
+    du_off = _parabola(iu, sel(base_u - 1), sel(base_u), sel(base_u + 1),
+                       extw)
+    ivc = jnp.clip(iv, 1, extw - 2)
+    base_v = ivc * extw + iu
+    dv_off = _parabola(iv, sel(base_v - extw), sel(base_v),
+                       sel(base_v + extw), extw)
+    return du_off, dv_off
+
+
 def fb_check(flow_fwd: jnp.ndarray, flow_bwd: jnp.ndarray, max_diff: float
              ) -> jnp.ndarray:
     """(H, W) bool: |F(p) + B(p + round(F(p)))| <= max_diff.
@@ -167,10 +201,13 @@ def fb_check(flow_fwd: jnp.ndarray, flow_bwd: jnp.ndarray, max_diff: float
 # --------------------------------------------------------------------------
 
 def _level_s(img1, cen1, cen2, base_u, base_v, params: FlowParams,
-             backend: str, is_coarsest: bool):
+             backend: str, is_coarsest: bool, major: bool = False):
     """Cost volume + 8-path 2D-label aggregation for one level: the batched
     core shared by the single-direction driver and the fwd/bwd lockstep
-    pair (vmapping it folds both directions into one kernel-launch set)."""
+    pair (vmapping it folds both directions into one kernel-launch set).
+
+    major=True (pallas_tr only) returns S label-MAJOR (H, L, W) for the
+    transpose-free extraction path (wta_flow_major/subpixel_flow_major)."""
     extw = params.window_extent
     nd = extw * extw
     if backend == "pallas_tr":
@@ -188,7 +225,9 @@ def _level_s(img1, cen1, cen2, base_u, base_v, params: FlowParams,
         s_max = 8 * (params.invalid_cost + params.p2)
         s = aggregate_tr.aggregate_paths_tr(
             cost_m, img1, DIRS_8, params.p1, params.p2, params.adaptive_p2,
-            label_ext=extw, s_max=s_max)
+            label_ext=extw, s_max=s_max, major_out=major)
+        if major:
+            return s[:, :nd, :]   # (H, L, W): drop the sublane pad planes
         return s[:, :, :nd]
     if backend == "pallas":
         # Label-MAJOR build + in-kernel butterfly transpose: materializing
@@ -220,13 +259,17 @@ def _level_s(img1, cen1, cen2, base_u, base_v, params: FlowParams,
     return s
 
 
-def _level_extract(s, base_u, base_v, params: FlowParams):
-    """WTA + optional subpixel refinement / median on an aggregated S."""
-    du, dv, l_int = wta_flow(s, params.search_radius)
+def _level_extract(s, base_u, base_v, params: FlowParams,
+                   major: bool = False):
+    """WTA + optional subpixel refinement / median on an aggregated S
+    ((H, W, L) — or label-major (H, L, W) with major=True)."""
+    _wta = wta_flow_major if major else wta_flow
+    _sub = subpixel_flow_major if major else subpixel_flow
+    du, dv, l_int = _wta(s, params.search_radius)
     u = (base_u + du).astype(jnp.float32)
     v = (base_v + dv).astype(jnp.float32)
     if params.subpixel:
-        du_off, dv_off = subpixel_flow(s, l_int, params.search_radius)
+        du_off, dv_off = _sub(s, l_int, params.search_radius)
         u = u + du_off
         v = v + dv_off
     flow = jnp.stack([u, v], axis=-1)
@@ -238,7 +281,7 @@ def _level_extract(s, base_u, base_v, params: FlowParams):
 
 def _flow_one_level(img1, img2, prior_flow, params: FlowParams,
                     backend: str, is_coarsest: bool = False,
-                    cen1=None, cen2=None):
+                    cen1=None, cen2=None, major: bool = False):
     base_u = jnp.rint(prior_flow[..., 0]).astype(jnp.int32)
     base_v = jnp.rint(prior_flow[..., 1]).astype(jnp.int32)
     if cen1 is None:
@@ -246,13 +289,13 @@ def _flow_one_level(img1, img2, prior_flow, params: FlowParams,
     if cen2 is None:
         cen2 = census_transform(img2, params.census_window)
     s = _level_s(img1, cen1, cen2, base_u, base_v, params, backend,
-                 is_coarsest)
-    return _level_extract(s, base_u, base_v, params)
+                 is_coarsest, major)
+    return _level_extract(s, base_u, base_v, params, major)
 
 
 def _flow_level_pair(i1, i2, c1, c2, prior_f, prior_b,
                      params: FlowParams, bwd_params: FlowParams,
-                     backend: str, is_coarsest: bool):
+                     backend: str, is_coarsest: bool, major: bool = False):
     """One pyramid level of the forward AND backward passes as a single
     batch-2 vmap: the per-launch fixed cost of the cost-build / transpose /
     sweep kernels dominates the coarse levels (measured ~4 ms/level at
@@ -272,20 +315,21 @@ def _flow_level_pair(i1, i2, c1, c2, prior_f, prior_b,
     bv = jnp.stack([bv_f, bv_b])
     s2 = jax.vmap(
         lambda g, ca, cb, u, v: _level_s(g, ca, cb, u, v, params, backend,
-                                         is_coarsest))(
+                                         is_coarsest, major))(
         guide, cen_a, cen_b, bu, bv)
     if bwd_params == params:
         # identical extraction both ways (full/half modes): batch it too
-        fl2 = jax.vmap(lambda s, u, v: _level_extract(s, u, v, params))(
+        fl2 = jax.vmap(
+            lambda s, u, v: _level_extract(s, u, v, params, major))(
             s2, bu, bv)
         return fl2[0], fl2[1]
-    flow_f = _level_extract(s2[0], bu_f, bv_f, params)
-    flow_b = _level_extract(s2[1], bu_b, bv_b, bwd_params)
+    flow_f = _level_extract(s2[0], bu_f, bv_f, params, major)
+    flow_b = _level_extract(s2[1], bu_b, bv_b, bwd_params, major)
     return flow_f, flow_b
 
 
 def _fsgm_flow_oneway(pyr1, pyr2, cens1, cens2, params: FlowParams,
-                      backend: str, init_flow=None):
+                      backend: str, init_flow=None, major: bool = False):
     """Coarse-to-fine pass over precomputed pyramids + census descriptors
     (shared between the forward and backward passes — the backward pass
     uses the same two pyramids with roles swapped, so pyramid/census work
@@ -303,13 +347,14 @@ def _fsgm_flow_oneway(pyr1, pyr2, cens1, cens2, params: FlowParams,
         is_c = lvl == params.levels - 1 and init_flow is None
         flow = _flow_one_level(i1, i2, flow, params, backend,
                                is_coarsest=is_c,
-                               cen1=cens1[lvl], cen2=cens2[lvl])
+                               cen1=cens1[lvl], cen2=cens2[lvl],
+                               major=major)
     return flow
 
 
 def _fsgm_flow_both(pyr1, pyr2, cens1, cens2, params: FlowParams,
                     bwd_final_params: FlowParams, backend: str,
-                    bwd_stop: int, init_flow=None):
+                    bwd_stop: int, init_flow=None, major: bool = False):
     """Forward and backward coarse-to-fine passes in lockstep (see
     _flow_level_pair).  The backward pass runs only at pyramid levels
     >= bwd_stop (0 for full/cheap, 1 for half); below that the forward
@@ -345,17 +390,19 @@ def _fsgm_flow_both(pyr1, pyr2, cens1, cens2, params: FlowParams,
             bp = bwd_final_params if lvl == bwd_stop else params
             flow_f, flow_b = _flow_level_pair(
                 i1, i2, cens1[lvl], cens2[lvl], flow_f, flow_b,
-                params, bp, backend, is_c)
+                params, bp, backend, is_c, major)
         else:
             flow_f = _flow_one_level(i1, i2, flow_f, params, backend,
                                      is_coarsest=is_c,
-                                     cen1=cens1[lvl], cen2=cens2[lvl])
+                                     cen1=cens1[lvl], cen2=cens2[lvl],
+                                     major=major)
     return flow_f, flow_b
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
+@functools.partial(jax.jit, static_argnums=(2, 3, 5))
 def _flow_fsgm_jit(img1: jnp.ndarray, img2: jnp.ndarray, params: FlowParams,
-                   backend: str = "xla", prior_flow=None):
+                   backend: str = "xla", prior_flow=None,
+                   major: bool = False):
     """Full fSGM: (H, W) uint8 pair -> (flow (H, W, 2) float32, valid
     (H, W) bool).
 
@@ -378,7 +425,7 @@ def _flow_fsgm_jit(img1: jnp.ndarray, img2: jnp.ndarray, params: FlowParams,
             init = downsample_flow_2x(init)
     if not params.fb_check:
         flow = _fsgm_flow_oneway(pyr1, pyr2, cens1, cens2, params, backend,
-                                 init_flow=init)
+                                 init_flow=init, major=major)
         return flow, jnp.ones(flow.shape[:2], dtype=bool)
     if params.fb_backward == "single":
         # one backward SGM level at finest resolution: prior is the
@@ -386,11 +433,12 @@ def _flow_fsgm_jit(img1: jnp.ndarray, img2: jnp.ndarray, params: FlowParams,
         # re-verifies each pixel; no backward pyramid, no subpixel or
         # median (fb_check rounds and tolerates 1 px).  Golden mirrors.
         flow = _fsgm_flow_oneway(pyr1, pyr2, cens1, cens2, params, backend,
-                                 init_flow=init)
+                                 init_flow=init, major=major)
         bwd_params = dataclasses.replace(
             params, subpixel=False, median_filter=False)
         flow_bwd = _flow_one_level(pyr2[0], pyr1[0], -flow, bwd_params,
-                                   backend, cen1=cens2[0], cen2=cens1[0])
+                                   backend, cen1=cens2[0], cen2=cens1[0],
+                                   major=major)
     elif params.fb_backward == "half":
         # backward pyramid stops at level 1 (half resolution): the
         # backward flow feeds only fb_check's rounded 1 px-tolerance
@@ -404,7 +452,8 @@ def _flow_fsgm_jit(img1: jnp.ndarray, img2: jnp.ndarray, params: FlowParams,
         # nearest upsample).
         flow, bwd_half = _fsgm_flow_both(pyr1, pyr2, cens1, cens2,
                                          params, params, backend,
-                                         bwd_stop=1, init_flow=init)
+                                         bwd_stop=1, init_flow=init,
+                                         major=major)
         flow_bwd = upsample_flow_2x(bwd_half, flow.shape[0], flow.shape[1])
     else:
         bwd_final = params
@@ -417,7 +466,8 @@ def _flow_fsgm_jit(img1: jnp.ndarray, img2: jnp.ndarray, params: FlowParams,
                 params, subpixel=False, median_filter=False)
         flow, flow_bwd = _fsgm_flow_both(pyr1, pyr2, cens1, cens2,
                                          params, bwd_final, backend,
-                                         bwd_stop=0, init_flow=init)
+                                         bwd_stop=0, init_flow=init,
+                                         major=major)
     valid = fb_check(flow, flow_bwd, params.fb_max_diff)
     return flow, valid
 
@@ -427,9 +477,10 @@ def flow_fsgm(img1: jnp.ndarray, img2: jnp.ndarray, params: FlowParams,
     """Public fSGM entry; see _flow_fsgm_jit.  Backend resolution
     ('pallas' -> 'pallas_tr' unless FSGM_TR=0) happens outside the jit so
     the resolved name is the cache key (mirrors models/stereo.py)."""
-    from fsgm_tpu.models.stereo import resolve_backend
-    return _flow_fsgm_jit(img1, img2, params, resolve_backend(backend),
-                          prior_flow)
+    from fsgm_tpu.models.stereo import resolve_backend, _extract_major
+    backend = resolve_backend(backend)
+    return _flow_fsgm_jit(img1, img2, params, backend, prior_flow,
+                          _extract_major(backend))
 
 
 def flow_sequence(frames, params: FlowParams, backend: str = "xla",

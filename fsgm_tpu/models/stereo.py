@@ -45,11 +45,12 @@ def _aggregate(cost: jnp.ndarray, img: jnp.ndarray, params: SGMParams,
 
 
 def _s_volume_tr(cen_l: jnp.ndarray, cen_r: jnp.ndarray, img: jnp.ndarray,
-                 params: SGMParams, right_reference: bool = False
-                 ) -> jnp.ndarray:
+                 params: SGMParams, right_reference: bool = False,
+                 major_out: bool = False) -> jnp.ndarray:
     """S via the transposed-layout sweeps: label-major cost volumes built
     directly in each family's scan layout (no lane-major volume ever
-    materializes)."""
+    materializes).  major_out=True keeps S in (H, L, W) for the
+    label-major extraction path (no merge transposes)."""
     from fsgm_tpu.ops.cost import (cost_volume_stereo_major,
                                    cost_volume_stereo_major_cols)
     from fsgm_tpu.ops.pallas import aggregate_tr
@@ -61,7 +62,8 @@ def _s_volume_tr(cen_l: jnp.ndarray, cen_r: jnp.ndarray, img: jnp.ndarray,
                                              right_reference)
     return aggregate_tr.aggregate_paths_tr(
         cost_hlw, img, params.dirs, params.p1, params.p2,
-        params.adaptive_p2, s_max=params.s_invalid, cost_wlh=cost_wlh)
+        params.adaptive_p2, s_max=params.s_invalid, cost_wlh=cost_wlh,
+        major_out=major_out)
 
 
 def compute_s_volume(img_l: jnp.ndarray, img_r: jnp.ndarray,
@@ -93,8 +95,9 @@ def right_disparity_reagg(cen_l: jnp.ndarray, cen_r: jnp.ndarray,
     right-reference cost volume guided by the right image, then WTA.
     Exact LR symmetry at 2x aggregation cost (vs the S-volume trick)."""
     if backend == "pallas_tr":
-        return ext.wta(_s_volume_tr(cen_l, cen_r, img_r, params,
-                                    right_reference=True))
+        return ext.wta_major(_s_volume_tr(cen_l, cen_r, img_r, params,
+                                          right_reference=True,
+                                          major_out=True))
     cost_r = cost_volume_stereo_right(cen_l, cen_r, params.max_disp,
                                       params.invalid_cost)
     s_r = _aggregate(cost_r, img_r, params, backend)
@@ -129,11 +132,43 @@ def extract_disparity(s: jnp.ndarray, params: SGMParams,
     return disp
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
+def extract_disparity_major(s_major: jnp.ndarray, params: SGMParams,
+                            d_right: jnp.ndarray | None = None
+                            ) -> jnp.ndarray:
+    """extract_disparity on the label-MAJOR (H, L, W) S: same stages, all
+    reductions run over the non-minor label axis (W-contiguous vectors, no
+    cross-lane trees) and the right-WTA diagonal is a gather-free
+    pad+reshape skew (ext.wta_right_from_s_major)."""
+    d_int = ext.wta_major(s_major)
+    disp = d_int.astype(jnp.float32)
+    if params.subpixel:
+        disp = ext.subpixel_refine_major(s_major, d_int)
+    if params.lr_check:
+        if d_right is None:
+            d_right = ext.wta_right_from_s_major(s_major, params.s_invalid)
+        disp = ext.lr_check(disp, d_right, params.lr_max_diff,
+                            params.max_disp)
+    if params.median_filter:
+        disp = ext.median_filter_3x3(disp)
+    if params.fill_invalid:
+        disp = ext.interpolate_invalid(disp)
+    return disp
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def _stereo_sgm_jit(img_l: jnp.ndarray, img_r: jnp.ndarray,
-                    params: SGMParams, backend: str) -> jnp.ndarray:
-    s = compute_s_volume(img_l, img_r, params, backend)
+                    params: SGMParams, backend: str,
+                    extract_major: bool = False) -> jnp.ndarray:
     d_right = None
+    if extract_major:
+        cen_l = census_transform(img_l, params.census_window)
+        cen_r = census_transform(img_r, params.census_window)
+        s_major = _s_volume_tr(cen_l, cen_r, img_l, params, major_out=True)
+        if params.lr_check and params.lr_mode == "reagg":
+            d_right = right_disparity_reagg(cen_l, cen_r, img_r, params,
+                                            backend)
+        return extract_disparity_major(s_major, params, d_right=d_right)
+    s = compute_s_volume(img_l, img_r, params, backend)
     if params.lr_check and params.lr_mode == "reagg":
         cen_l = census_transform(img_l, params.census_window)
         cen_r = census_transform(img_r, params.census_window)
@@ -142,11 +177,23 @@ def _stereo_sgm_jit(img_l: jnp.ndarray, img_r: jnp.ndarray,
     return extract_disparity(s, params, backend, d_right=d_right)
 
 
+def _extract_major(backend: str) -> bool:
+    """Label-major extraction is the pallas_tr default (removes the S merge
+    transposes and the cross-lane extraction reductions); FSGM_EXTRACT_MAJOR=0
+    pins the legacy minor-layout extraction for A/B."""
+    import os
+    return (backend == "pallas_tr"
+            and os.environ.get("FSGM_EXTRACT_MAJOR", "1") != "0")
+
+
 def stereo_sgm(img_l: jnp.ndarray, img_r: jnp.ndarray, params: SGMParams,
                backend: str = "xla") -> jnp.ndarray:
     """Full stereo pipeline: (H, W) uint8 pair -> (H, W) float32 disparity.
 
     The env-dependent backend resolution ('pallas' -> 'pallas_tr' unless
-    FSGM_TR=0) happens OUTSIDE the jit so the resolved name is the cache
-    key — flipping the env between calls can never hit a stale trace."""
-    return _stereo_sgm_jit(img_l, img_r, params, resolve_backend(backend))
+    FSGM_TR=0; FSGM_EXTRACT_MAJOR) happens OUTSIDE the jit so the resolved
+    names are the cache key — flipping the env between calls can never hit
+    a stale trace."""
+    backend = resolve_backend(backend)
+    return _stereo_sgm_jit(img_l, img_r, params, backend,
+                           _extract_major(backend))

@@ -96,6 +96,60 @@ def subpixel_refine(s: jnp.ndarray, d_int: jnp.ndarray) -> jnp.ndarray:
     return d_int.astype(jnp.float32) + jnp.where(ok, offset, 0.0)
 
 
+# --------------------------------------------------------------------------
+# Label-MAJOR extraction (S laid out (H, L, W), the transposed-backend
+# native layout — see ops/pallas/aggregate_tr.py).  Running extraction in
+# this layout removes the two S merge transposes AND streams W-contiguous
+# vectors through every reduction (labels ride a non-minor axis, so argmin /
+# one-hot mins are elementwise over full (H, W) planes instead of cross-lane
+# trees).  Bit-identical to the minor-layout functions above on the
+# transposed input (tests/unit/test_extract_major.py).
+# --------------------------------------------------------------------------
+
+
+def wta_major(s: jnp.ndarray) -> jnp.ndarray:
+    """argmin over axis 1 of (H, L, W); ties -> smallest index."""
+    return jnp.argmin(s, axis=1).astype(jnp.int32)
+
+
+def neighborhood_of_min_major(s: jnp.ndarray, d_int: jnp.ndarray):
+    """(S[d*-1], S[d*], S[d*+1]) from (H, L, W) S via one-hot plane mins
+    (same contract as neighborhood_of_min; out-of-range -> BIG sentinel)."""
+    nl = s.shape[1]
+    big = jnp.int32(1 << 24)
+    lab = jnp.arange(nl, dtype=jnp.int32)[None, :, None]
+    d = d_int[:, None, :]
+    sv = s.astype(jnp.int32)
+    s_m = jnp.min(jnp.where(lab == d - 1, sv, big), axis=1)
+    s_0 = jnp.min(jnp.where(lab == d, sv, big), axis=1)
+    s_p = jnp.min(jnp.where(lab == d + 1, sv, big), axis=1)
+    return s_m, s_0, s_p
+
+
+def subpixel_refine_major(s: jnp.ndarray, d_int: jnp.ndarray) -> jnp.ndarray:
+    """Quadratic refinement on label-major S; matches subpixel_refine."""
+    nl = s.shape[1]
+    s_m, s_0, s_p = neighborhood_of_min_major(s, d_int)
+    return subpixel_from_neighborhood(d_int, s_m, s_0, s_p, nl)
+
+
+def wta_right_from_s_major(s: jnp.ndarray, s_invalid: int) -> jnp.ndarray:
+    """Right-view disparity d_R(y,x) = argmin_d S(y, x+d, d) on label-major
+    (H, L, W) S with ZERO gathers: pad W with s_invalid, then the classic
+    skew-by-reshape — flattening (L, Wp) and re-viewing rows at stride Wp+1
+    shifts row d left by d, so diag[y, d, x] = S[y, d, x+d].  x+d >= W
+    lands in the s_invalid pad (or past it in the stride-pad, also
+    s_invalid), reproducing wta_right_from_s's validity rule exactly."""
+    h, nl, w = s.shape
+    wp = w + nl                                  # row d needs x+d <= W-1+L-1
+    pad = jnp.full((h, nl, wp - w), jnp.asarray(s_invalid, s.dtype))
+    flat = jnp.concatenate([s, pad], axis=2).reshape(h, nl * wp)
+    flat = jnp.concatenate(
+        [flat, jnp.full((h, nl), jnp.asarray(s_invalid, s.dtype))], axis=1)
+    diag = flat.reshape(h, nl, wp + 1)[:, :, :w]  # diag[y,d,x] = S[y,d,x+d]
+    return jnp.argmin(diag, axis=1).astype(jnp.int32)
+
+
 def lr_check(d_left: jnp.ndarray, d_right: jnp.ndarray, max_diff: int = 1,
              max_disp: int | None = None) -> jnp.ndarray:
     """Invalidate where |d_L(x) - d_R(x - round(d_L))| > max_diff -> INVALID.

@@ -277,7 +277,8 @@ def aggregate_paths_tr(cost_hlw: jnp.ndarray, img: jnp.ndarray,
                        adaptive_p2: bool = False,
                        label_ext: int | None = None,
                        s_max: int | None = None,
-                       cost_wlh: jnp.ndarray | None = None) -> jnp.ndarray:
+                       cost_wlh: jnp.ndarray | None = None,
+                       major_out: bool = False) -> jnp.ndarray:
     """S = sum_r L_r via transposed-layout family sweeps.
 
     cost_hlw: (H, L, W) u8 label-MAJOR cost (L may exceed the true label
@@ -285,7 +286,9 @@ def aggregate_paths_tr(cost_hlw: jnp.ndarray, img: jnp.ndarray,
     cost_wlh: the same values laid out (W, L, H) for the horizontal
     family (built directly by cost_volume_stereo_major_cols, or derived
     here by one XLA transpose if omitted).  Returns (H, W, L) int16/int32
-    — same contract as aggregate_pallas.aggregate_paths."""
+    — same contract as aggregate_pallas.aggregate_paths — or, with
+    major_out=True, the label-MAJOR (H, L, W) S (saves one transpose;
+    consumers extract with ops/extract.py's *_major functions)."""
     h, nd, w = cost_hlw.shape
     s_dtype, _ = plan_dtypes(p2, s_max)
 
@@ -332,6 +335,13 @@ def aggregate_paths_tr(cost_hlw: jnp.ndarray, img: jnp.ndarray,
                                   s_h, label_ext)
         s_h = s_h[:w]
 
+    if major_out:
+        # stay in (H, L, W): one transpose for the horizontal family only
+        if s_h is not None:
+            s_h = jnp.transpose(s_h, (2, 1, 0))[:h, :, :w]
+        if s_v is not None and s_h is not None:
+            return s_v + s_h
+        return s_v if s_v is not None else s_h
     # merge to the (H, W, L) extraction layout (XLA transposes: ~0.5 ms
     # each at KITTI size — tools/trexp2.py)
     if s_v is not None and s_h is not None:

@@ -1,0 +1,92 @@
+"""Label-MAJOR extraction parity (ops/extract.py *_major functions).
+
+The transposed aggregation backend keeps S in (H, L, W); extraction must be
+bit-identical to the minor-layout functions on the transposed volume
+(SURVEY.md §2.1 rows "WTA + subpixel", "LR-consistency" — same capability,
+second layout).  Pipeline-level: stereo_sgm(pallas_tr) with major extraction
+(the default) must stay bit-exact vs the XLA backend and vs minor
+extraction (FSGM_EXTRACT_MAJOR=0).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fsgm_tpu.params import SGMParams
+from fsgm_tpu.io.synthetic import random_dot_stereo
+from fsgm_tpu.ops import extract as ext
+
+
+def _s_volume(h=30, w=47, nl=16, seed=3, dtype=np.int16):
+    rng = np.random.default_rng(seed)
+    hi = 20000 if dtype == np.int16 else 1 << 22
+    return rng.integers(0, hi, size=(h, nl, w)).astype(dtype)
+
+
+@pytest.mark.parametrize("dtype", [np.int16, np.int32])
+def test_wta_major_matches_minor(dtype):
+    s_major = jnp.asarray(_s_volume(dtype=dtype))
+    s_minor = jnp.transpose(s_major, (0, 2, 1))
+    np.testing.assert_array_equal(np.asarray(ext.wta_major(s_major)),
+                                  np.asarray(ext.wta(s_minor)))
+
+
+@pytest.mark.parametrize("nl", [8, 16, 81])
+def test_subpixel_major_matches_minor(nl):
+    s_major = jnp.asarray(_s_volume(nl=nl, dtype=np.int32))
+    s_minor = jnp.transpose(s_major, (0, 2, 1))
+    d = ext.wta(s_minor)
+    np.testing.assert_array_equal(
+        np.asarray(ext.subpixel_refine_major(s_major, d)),
+        np.asarray(ext.subpixel_refine(s_minor, d)))
+
+
+@pytest.mark.parametrize("nl,w", [(16, 47), (16, 16), (8, 130), (64, 40)])
+def test_wta_right_major_matches_minor(nl, w):
+    # nl > w exercises windows where every x+d is out of range for high d
+    s_major = jnp.asarray(_s_volume(h=22, w=w, nl=nl, seed=nl + w,
+                                    dtype=np.int32))
+    s_minor = jnp.transpose(s_major, (0, 2, 1))
+    s_invalid = 1 << 23
+    np.testing.assert_array_equal(
+        np.asarray(ext.wta_right_from_s_major(s_major, s_invalid)),
+        np.asarray(ext.wta_right_from_s(s_minor, s_invalid)))
+
+
+def test_flow_pipeline_major_extraction_exact(monkeypatch):
+    """flow_fsgm(pallas_tr): major extraction (default) == minor == xla,
+    through the fwd/bwd lockstep driver and fb_check."""
+    from fsgm_tpu.params import FlowParams
+    from fsgm_tpu.io.synthetic import constant_flow_pair
+    from fsgm_tpu.models import flow as fl
+
+    img1, img2, _ = constant_flow_pair(48, 64, u=2, v=-1, seed=5)
+    p = FlowParams(levels=2, search_radius=2)
+    i1, i2 = jnp.asarray(img1), jnp.asarray(img2)
+    ref_f, ref_v = fl.flow_fsgm(i1, i2, p, backend="xla")
+    monkeypatch.setenv("FSGM_EXTRACT_MAJOR", "1")
+    got_f, got_v = fl.flow_fsgm(i1, i2, p, backend="pallas_tr")
+    np.testing.assert_array_equal(np.asarray(got_f), np.asarray(ref_f))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))
+    monkeypatch.setenv("FSGM_EXTRACT_MAJOR", "0")
+    got_f0, got_v0 = fl.flow_fsgm(i1, i2, p, backend="pallas_tr")
+    np.testing.assert_array_equal(np.asarray(got_f0), np.asarray(ref_f))
+    np.testing.assert_array_equal(np.asarray(got_v0), np.asarray(ref_v))
+
+
+@pytest.mark.parametrize("lr_mode", ["s_trick", "reagg"])
+def test_stereo_pipeline_major_extraction_exact(monkeypatch, lr_mode):
+    """stereo_sgm(pallas_tr): major extraction (default) == minor == xla."""
+    img_l, img_r, _ = random_dot_stereo(40, 56, 16, seed=11)
+    p = SGMParams(max_disp=16, p1=7, p2=60, lr_mode=lr_mode)
+    il, ir = jnp.asarray(img_l), jnp.asarray(img_r)
+
+    from fsgm_tpu.models import stereo as st
+    ref = np.asarray(st.stereo_sgm(il, ir, p, backend="xla"))
+    monkeypatch.setenv("FSGM_EXTRACT_MAJOR", "1")
+    got_major = np.asarray(st.stereo_sgm(il, ir, p, backend="pallas_tr"))
+    monkeypatch.setenv("FSGM_EXTRACT_MAJOR", "0")
+    got_minor = np.asarray(st.stereo_sgm(il, ir, p, backend="pallas_tr"))
+    np.testing.assert_array_equal(got_major, ref)
+    np.testing.assert_array_equal(got_minor, ref)
