@@ -480,7 +480,7 @@ def flow_fsgm(img1: jnp.ndarray, img2: jnp.ndarray, params: FlowParams,
     from fsgm_tpu.models.stereo import resolve_backend, _extract_major
     backend = resolve_backend(backend)
     return _flow_fsgm_jit(img1, img2, params, backend, prior_flow,
-                          _extract_major(backend))
+                          _extract_major(backend, default="1"))
 
 
 def flow_sequence(frames, params: FlowParams, backend: str = "xla",

@@ -51,15 +51,21 @@ def _s_volume_tr(cen_l: jnp.ndarray, cen_r: jnp.ndarray, img: jnp.ndarray,
     directly in each family's scan layout (no lane-major volume ever
     materializes).  major_out=True keeps S in (H, L, W) for the
     label-major extraction path (no merge transposes)."""
+    import os
     from fsgm_tpu.ops.cost import (cost_volume_stereo_major,
                                    cost_volume_stereo_major_cols)
     from fsgm_tpu.ops.pallas import aggregate_tr
     cost_hlw = cost_volume_stereo_major(cen_l, cen_r, params.max_disp,
                                         params.invalid_cost,
                                         right_reference)
-    cost_wlh = cost_volume_stereo_major_cols(cen_l, cen_r, params.max_disp,
-                                             params.invalid_cost,
-                                             right_reference)
+    if os.environ.get("FSGM_TR_COSTT", "0") == "1":
+        # A/B: derive the column-scan layout by one u8 XLA transpose of
+        # the row-scan volume instead of a second independent build
+        cost_wlh = None
+    else:
+        cost_wlh = cost_volume_stereo_major_cols(
+            cen_l, cen_r, params.max_disp, params.invalid_cost,
+            right_reference)
     return aggregate_tr.aggregate_paths_tr(
         cost_hlw, img, params.dirs, params.p1, params.p2,
         params.adaptive_p2, s_max=params.s_invalid, cost_wlh=cost_wlh,
@@ -177,13 +183,20 @@ def _stereo_sgm_jit(img_l: jnp.ndarray, img_r: jnp.ndarray,
     return extract_disparity(s, params, backend, d_right=d_right)
 
 
-def _extract_major(backend: str) -> bool:
-    """Label-major extraction is the pallas_tr default (removes the S merge
-    transposes and the cross-lane extraction reductions); FSGM_EXTRACT_MAJOR=0
-    pins the legacy minor-layout extraction for A/B."""
+def _extract_major(backend: str, default: str = "0") -> bool:
+    """Label-major extraction (S stays (H, L, W); no merge transposes).
+
+    Measured on the real TPU (2026-08-19, batch-16 KITTI): the minor-layout
+    extraction WINS for stereo — 13.74-13.96 ms/frame vs 14.36-14.80 with
+    major — XLA's cross-lane argmin/one-hot trees on the (H, W, D) layout
+    beat the non-minor-axis reductions plus the pad+reshape right-WTA skew,
+    outweighing the two transposes they require.  Flow measures neutral
+    (26.6-27.1 ms either way at batch 8) and keeps major as its default
+    (81 labels leave 37% lane pad in the minor layout; models/flow.py
+    passes default="1").  FSGM_EXTRACT_MAJOR overrides either way."""
     import os
     return (backend == "pallas_tr"
-            and os.environ.get("FSGM_EXTRACT_MAJOR", "1") != "0")
+            and os.environ.get("FSGM_EXTRACT_MAJOR", default) == "1")
 
 
 def stereo_sgm(img_l: jnp.ndarray, img_r: jnp.ndarray, params: SGMParams,

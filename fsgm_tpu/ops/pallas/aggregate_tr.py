@@ -268,6 +268,138 @@ def tr_family_sweep(cost_t: jnp.ndarray, img: jnp.ndarray,
     return s_out
 
 
+def _make_tr_dual_kernel(dirs_d, dirs_u, nd: int, w: int, rb: int,
+                         nmin: Callable, s_dtype, cdt, inf: int, carry_dt,
+                         n_steps: int):
+    """Both vertical families in ONE kernel: grid step i runs the down
+    chains on row block i and the up chains on row block n_steps-1-i
+    (separate carries, separate outputs — no cross-step aliasing hazards).
+    Halves the pallas_call count per volume AND drops the aliased
+    zero-accumulator read (each family writes its S blocks fresh)."""
+    def offsets(dirs):
+        offs, off = [], 0
+        for ady, _ in dirs:
+            offs.append(off)
+            off += 2 if ady == 2 else 1
+        return offs, off
+
+    offs_d, units_d = offsets(dirs_d)
+    offs_u, units_u = offsets(dirs_u)
+
+    def kernel(cd_ref, cu_ref, p2d_ref, p2u_ref, sd_ref, su_ref,
+               carry_d, carry_u):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            carry_d[...] = jnp.zeros(carry_d.shape, carry_d.dtype)
+            carry_u[...] = jnp.zeros(carry_u.shape, carry_u.dtype)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+
+        def family(c_ref, p2e_ref, s_ref, carry_ref, dirs, offs,
+                   reverse: bool):
+            rows = range(rb - 1, -1, -1) if reverse else range(rb)
+            for r in rows:
+                cost = c_ref[r].astype(cdt)
+                acc = None
+                for k, (ady, dx) in enumerate(dirs):
+                    o = offs[k]
+                    prev = carry_ref[o + ady - 1].astype(cdt)
+                    m = sub_min(prev)
+                    nm = nmin(prev)
+                    if dx != 0:
+                        prev = _lane_shift(prev, dx, lane, inf)
+                        nm = _lane_shift(nm, dx, lane, inf)
+                        m = _lane_shift(m, dx, lane, inf)
+                    mp = m + p2e_ref[r, k][None, :].astype(cdt)
+                    best = jnp.minimum(jnp.minimum(prev, nm), mp)
+                    l = cost + best - m
+                    if ady == 2:
+                        carry_ref[o + 1] = carry_ref[o]
+                    carry_ref[o] = l.astype(carry_dt)
+                    acc = l if acc is None else acc + l
+                s_ref[r] = acc.astype(s_dtype)
+
+        family(cd_ref, p2d_ref, sd_ref, carry_d, dirs_d, offs_d, False)
+        family(cu_ref, p2u_ref, su_ref, carry_u, dirs_u, offs_u, True)
+
+    return kernel, units_d, units_u
+
+
+def tr_dual_family_sweep(cost_t: jnp.ndarray, img: jnp.ndarray,
+                         fam_down: Sequence[Tuple[int, int]],
+                         fam_up: Sequence[Tuple[int, int]],
+                         p1: int, p2: int, adaptive_p2: bool,
+                         s_dtype,
+                         label_ext: int | None = None,
+                         row_block: int | None = None) -> jnp.ndarray:
+    """Both vertical families of a canonicalized volume in one launch.
+
+    cost_t: (H', L, W') u8; fam_down all dy>0, fam_up all dy<0 (for the
+    horizontal image families the caller maps (0,dx) -> (dx,0) / (-dx,0)
+    on the transposed volume, exactly like tr_family_sweep).  Returns the
+    FRESH (H', L, W') sum of both families' L in s_dtype — the single-chip
+    fast path (tiled wavefronts need per-family carries and keep
+    tr_family_sweep).  Bit-identical to two tr_family_sweep passes
+    (tests/unit/test_tr_parity.py::test_dual_family_matches_single)."""
+    assert all(dy > 0 for dy, _ in fam_down), fam_down
+    assert all(dy < 0 for dy, _ in fam_up), fam_up
+    h, nd, w = cost_t.shape
+    cdt, inf = _compute_dtype()
+    nmin = (make_tr_nmin_1d(p1, inf) if label_ext is None
+            else make_tr_nmin_2d(p1, label_ext, inf))
+    _, carry_dt = plan_dtypes(p2, None)
+
+    def p2e_of(family):
+        return jnp.stack([_p2_effective(img, dy, dx, p1, p2, adaptive_p2,
+                                        None, None)
+                          for dy, dx in family], axis=1)     # (H', n, W')
+
+    p2e_d, p2e_u = p2e_of(fam_down), p2e_of(fam_up)
+    canon_d = [(abs(dy), dx) for dy, dx in fam_down]
+    canon_u = [(abs(dy), dx) for dy, dx in fam_up]
+
+    if row_block is None:
+        row_block = int(os.environ.get("FSGM_TR_RB", "8"))
+    rb = row_block if h % row_block == 0 else 1
+    n_steps = h // rb
+
+    kernel, units_d, units_u = _make_tr_dual_kernel(
+        canon_d, canon_u, nd, w, rb, nmin, s_dtype, cdt, inf, carry_dt,
+        n_steps)
+
+    fwd = lambda i: (i, 0, 0)                   # noqa: E731
+    rev = lambda i: (n_steps - 1 - i, 0, 0)     # noqa: E731
+    in_specs = [
+        pl.BlockSpec((rb, nd, w), fwd),                  # cost (down blk)
+        pl.BlockSpec((rb, nd, w), rev),                  # cost (up blk)
+        pl.BlockSpec((rb, len(fam_down), w), fwd),       # p2e down
+        pl.BlockSpec((rb, len(fam_up), w), rev),         # p2e up
+    ]
+    out_specs = [pl.BlockSpec((rb, nd, w), fwd),
+                 pl.BlockSpec((rb, nd, w), rev)]
+    scratch = [pltpu.VMEM((units_d, nd, w), carry_dt),
+               pltpu.VMEM((units_u, nd, w), carry_dt)]
+    cp = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+    s_d, s_u = pl.pallas_call(
+        kernel, grid=(n_steps,), in_specs=in_specs, out_specs=out_specs,
+        out_shape=[jax.ShapeDtypeStruct((h, nd, w), s_dtype),
+                   jax.ShapeDtypeStruct((h, nd, w), s_dtype)],
+        scratch_shapes=scratch, compiler_params=cp, interpret=_interpret(),
+    )(cost_t, cost_t, p2e_d, p2e_u)
+    return s_d + s_u
+
+
+def _dual_enabled() -> bool:
+    """Fused dual-family launch — measured NEUTRAL on the real TPU
+    (stereo batch-16: 13.87 vs 13.85 ms/frame; flow batch-1: 62.1 vs
+    61.1 — 2026-08-19): the vmap/pyramid launch overhead it removes is
+    already hidden by Mosaic's grid pipelining.  Kept as an opt-in
+    experiment (FSGM_TR_DUAL=1) with a bit-exactness test."""
+    return os.environ.get("FSGM_TR_DUAL", "0") == "1"
+
+
 def _pad8(n: int) -> int:
     return -(-n // 8) * 8
 
@@ -297,7 +429,10 @@ def aggregate_paths_tr(cost_hlw: jnp.ndarray, img: jnp.ndarray,
     horiz = [r for r in dirs if r[0] == 0]
 
     s_v = None
-    if down or up:
+    if down and up and _dual_enabled():
+        s_v = tr_dual_family_sweep(cost_hlw, img, down, up, p1, p2,
+                                   adaptive_p2, s_dtype, label_ext)
+    elif down or up:
         s_v = jnp.zeros((h, nd, w), s_dtype)
         if down:
             s_v = tr_family_sweep(cost_hlw, img, down, p1, p2, adaptive_p2,
@@ -324,15 +459,19 @@ def aggregate_paths_tr(cost_hlw: jnp.ndarray, img: jnp.ndarray,
         if pw or ph:
             cost_wlh = jnp.pad(cost_wlh, ((0, pw), (0, 0), (0, ph)))
         imgt = jnp.pad(img, ((0, hp - h), (0, wp - w)), mode="edge").T
-        s_h = jnp.zeros((wp, nd, hp), s_dtype)
         fwd = [(dx, 0) for dy, dx in horiz if dx > 0]
         bwd = [(dx, 0) for dy, dx in horiz if dx < 0]
-        if fwd:
-            s_h = tr_family_sweep(cost_wlh, imgt, fwd, p1, p2, adaptive_p2,
-                                  s_h, label_ext)
-        if bwd:
-            s_h = tr_family_sweep(cost_wlh, imgt, bwd, p1, p2, adaptive_p2,
-                                  s_h, label_ext)
+        if fwd and bwd and _dual_enabled():
+            s_h = tr_dual_family_sweep(cost_wlh, imgt, fwd, bwd, p1, p2,
+                                       adaptive_p2, s_dtype, label_ext)
+        else:
+            s_h = jnp.zeros((wp, nd, hp), s_dtype)
+            if fwd:
+                s_h = tr_family_sweep(cost_wlh, imgt, fwd, p1, p2,
+                                      adaptive_p2, s_h, label_ext)
+            if bwd:
+                s_h = tr_family_sweep(cost_wlh, imgt, bwd, p1, p2,
+                                      adaptive_p2, s_h, label_ext)
         s_h = s_h[:w]
 
     if major_out:

@@ -161,6 +161,29 @@ def test_full_pipeline_tr_backend(volume, lr_mode):
     np.testing.assert_allclose(ours[both], gold[both], atol=1e-3)
 
 
+@pytest.mark.parametrize("dirset,label_ext", [(DIRS_8, None), (DIRS_16, None)])
+@pytest.mark.parametrize("adaptive", [False, True])
+def test_dual_family_matches_single(volume, dirset, label_ext, adaptive):
+    """The fused dual-family launch (down chain on block i, up chain on
+    block n-1-i, one pallas_call) must be bit-identical to two sequential
+    tr_family_sweep passes over the same volume."""
+    img, _, cost = volume
+    p1, p2 = 7, 60
+    cost_hlw = jnp.asarray(cost.transpose(0, 2, 1), dtype=jnp.uint8)
+    down = [r for r in dirset if r[0] > 0]
+    up = [r for r in dirset if r[0] < 0]
+    from fsgm_tpu.ops.pallas.aggregate_pallas import plan_dtypes
+    s_dtype, _ = plan_dtypes(p2, len(dirset) * (255 + p2))
+    dual = ptr.tr_dual_family_sweep(cost_hlw, jnp.asarray(img), down, up,
+                                    p1, p2, adaptive, s_dtype, label_ext)
+    single = jnp.zeros(cost_hlw.shape, s_dtype)
+    single = ptr.tr_family_sweep(cost_hlw, jnp.asarray(img), down, p1, p2,
+                                 adaptive, single, label_ext)
+    single = ptr.tr_family_sweep(cost_hlw, jnp.asarray(img), up, p1, p2,
+                                 adaptive, single, label_ext)
+    np.testing.assert_array_equal(np.asarray(dual), np.asarray(single))
+
+
 @pytest.mark.parametrize("family", [[(1, 0), (1, 1), (1, -1)],
                                     [(-1, 0), (-1, 2), (-2, 1)]])
 def test_carry_seam_continuation_exact(family):
