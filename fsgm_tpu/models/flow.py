@@ -172,6 +172,22 @@ def subpixel_flow_major(s: jnp.ndarray, l_int: jnp.ndarray, radius: int):
     return du_off, dv_off
 
 
+def upsample_valid_2x(valid: jnp.ndarray, out_h: int, out_w: int
+                      ) -> jnp.ndarray:
+    """Nearest-neighbor 2x upsample of a (h2, w2) bool validity plane,
+    edge-extended to (out_h, out_w) — the fb_grid='half' merge (each half-
+    grid verdict covers its 2x2 full-res block).  golden/flow.py mirrors."""
+    up = jnp.repeat(jnp.repeat(valid, 2, axis=0), 2, axis=1)
+    h, w = up.shape
+    if h < out_h:
+        up = jnp.concatenate(
+            [up, jnp.repeat(up[-1:], out_h - h, axis=0)], axis=0)
+    if w < out_w:
+        up = jnp.concatenate(
+            [up, jnp.repeat(up[:, -1:], out_w - w, axis=1)], axis=1)
+    return up[:out_h, :out_w]
+
+
 def fb_check(flow_fwd: jnp.ndarray, flow_bwd: jnp.ndarray, max_diff: float
              ) -> jnp.ndarray:
     """(H, W) bool: |F(p) + B(p + round(F(p)))| <= max_diff.
@@ -454,6 +470,14 @@ def _flow_fsgm_jit(img1: jnp.ndarray, img2: jnp.ndarray, params: FlowParams,
                                          params, params, backend,
                                          bwd_stop=1, init_flow=init,
                                          major=major)
+        if params.fb_grid == "half":
+            # check directly on the half grid: the backward field is
+            # already there, the forward field box-downsamples; tolerance
+            # halves with the pixel size.  Quarter the gather indices.
+            valid_h = fb_check(downsample_flow_2x(flow), bwd_half,
+                               params.fb_max_diff * 0.5)
+            return flow, upsample_valid_2x(valid_h, flow.shape[0],
+                                           flow.shape[1])
         flow_bwd = upsample_flow_2x(bwd_half, flow.shape[0], flow.shape[1])
     else:
         bwd_final = params
@@ -468,6 +492,12 @@ def _flow_fsgm_jit(img1: jnp.ndarray, img2: jnp.ndarray, params: FlowParams,
                                          params, bwd_final, backend,
                                          bwd_stop=0, init_flow=init,
                                          major=major)
+    if params.fb_grid == "half":
+        valid_h = fb_check(downsample_flow_2x(flow),
+                           downsample_flow_2x(flow_bwd),
+                           params.fb_max_diff * 0.5)
+        return flow, upsample_valid_2x(valid_h, flow.shape[0],
+                                       flow.shape[1])
     valid = fb_check(flow, flow_bwd, params.fb_max_diff)
     return flow, valid
 

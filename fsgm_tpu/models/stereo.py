@@ -58,14 +58,18 @@ def _s_volume_tr(cen_l: jnp.ndarray, cen_r: jnp.ndarray, img: jnp.ndarray,
     cost_hlw = cost_volume_stereo_major(cen_l, cen_r, params.max_disp,
                                         params.invalid_cost,
                                         right_reference)
-    if os.environ.get("FSGM_TR_COSTT", "0") == "1":
-        # A/B: derive the column-scan layout by one u8 XLA transpose of
-        # the row-scan volume instead of a second independent build
-        cost_wlh = None
-    else:
+    if os.environ.get("FSGM_TR_COSTT", "1") == "0":
+        # pinned A/B variant: a second independent direct build of the
+        # column-scan layout.  Measured LOSS on the real TPU (2026-08-19,
+        # batch-16 KITTI): 13.77 ms/frame vs 11.89-12.12 with the
+        # transpose derivation — one u8 XLA transpose of the row-scan
+        # volume beats re-running census-XOR-popcount in the transposed
+        # access pattern by ~1.7 ms/frame.
         cost_wlh = cost_volume_stereo_major_cols(
             cen_l, cen_r, params.max_disp, params.invalid_cost,
             right_reference)
+    else:
+        cost_wlh = None  # aggregate_paths_tr derives it by transpose
     return aggregate_tr.aggregate_paths_tr(
         cost_hlw, img, params.dirs, params.p1, params.p2,
         params.adaptive_p2, s_max=params.s_invalid, cost_wlh=cost_wlh,

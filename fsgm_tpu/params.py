@@ -132,6 +132,15 @@ class FlowParams:
     #              backward level (subpixel halves the upsample
     #              quantization, which otherwise sits at the tolerance)
     fb_backward: str = "full"
+    # Grid the FB check itself runs on:
+    #   "full" - per-pixel check at full resolution
+    #   "half" - both fields box-downsampled 2x, checked on the half grid
+    #            with tolerance fb_max_diff/2 (the same physical mismatch
+    #            measures half as many pixels there), validity plane
+    #            2x-upsampled.  Quarters the check's gather indices (the
+    #            cost driver, NOTES-PERF) at the price of a 2x-blockier
+    #            validity plane; accuracy measured by tools/fb_accuracy.py.
+    fb_grid: str = "full"
     median_filter: bool = True
     invalid_cost: int = 255
 
@@ -143,6 +152,8 @@ class FlowParams:
             raise ValueError(f"unknown fb_backward: {self.fb_backward!r}")
         if self.fb_backward == "half" and self.levels < 2:
             raise ValueError("fb_backward='half' needs levels >= 2")
+        if self.fb_grid not in ("full", "half"):
+            raise ValueError(f"unknown fb_grid: {self.fb_grid!r}")
         num_labels = (2 * self.search_radius + 1) ** 2
         cmax = min(ch * cw - 1, self.invalid_cost)
         if 8 * (cmax + self.p2) >= 1 << 16:
