@@ -165,19 +165,33 @@ def extract_disparity_major(s_major: jnp.ndarray, params: SGMParams,
     return disp
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def _stereo_sgm_jit(img_l: jnp.ndarray, img_r: jnp.ndarray,
                     params: SGMParams, backend: str,
-                    extract_major: bool = False) -> jnp.ndarray:
+                    extract_major: bool = False,
+                    rwta_pallas: bool = False) -> jnp.ndarray:
     d_right = None
-    if extract_major:
+    if backend == "pallas_tr":
+        # the tr sweeps natively produce label-MAJOR S; the right-WTA
+        # diagonal comes from the Pallas shear kernel on that layout
+        # (extract_tr.wta_right_major: 2.55 vs 3.43 ms for the XLA
+        # S-trick gather, tools/extbench.py 2026-08-19), then extraction
+        # runs in whichever layout measured faster (_extract_major)
         cen_l = census_transform(img_l, params.census_window)
         cen_r = census_transform(img_r, params.census_window)
         s_major = _s_volume_tr(cen_l, cen_r, img_l, params, major_out=True)
-        if params.lr_check and params.lr_mode == "reagg":
-            d_right = right_disparity_reagg(cen_l, cen_r, img_r, params,
-                                            backend)
-        return extract_disparity_major(s_major, params, d_right=d_right)
+        if params.lr_check:
+            if params.lr_mode == "reagg":
+                d_right = right_disparity_reagg(cen_l, cen_r, img_r,
+                                                params, backend)
+            elif rwta_pallas:
+                from fsgm_tpu.ops.pallas import extract_tr
+                d_right = extract_tr.wta_right_major(s_major,
+                                                     params.s_invalid)
+        if extract_major:
+            return extract_disparity_major(s_major, params, d_right=d_right)
+        s = jnp.transpose(s_major, (0, 2, 1))
+        return extract_disparity(s, params, backend, d_right=d_right)
     s = compute_s_volume(img_l, img_r, params, backend)
     if params.lr_check and params.lr_mode == "reagg":
         cen_l = census_transform(img_l, params.census_window)
@@ -203,14 +217,22 @@ def _extract_major(backend: str, default: str = "0") -> bool:
             and os.environ.get("FSGM_EXTRACT_MAJOR", default) == "1")
 
 
+def _rwta_pallas(backend: str) -> bool:
+    """Pallas shear right-WTA is the pallas_tr default; FSGM_RWTA=xla pins
+    the XLA S-trick gather for A/B."""
+    import os
+    return (backend == "pallas_tr"
+            and os.environ.get("FSGM_RWTA", "pallas") == "pallas")
+
+
 def stereo_sgm(img_l: jnp.ndarray, img_r: jnp.ndarray, params: SGMParams,
                backend: str = "xla") -> jnp.ndarray:
     """Full stereo pipeline: (H, W) uint8 pair -> (H, W) float32 disparity.
 
     The env-dependent backend resolution ('pallas' -> 'pallas_tr' unless
-    FSGM_TR=0; FSGM_EXTRACT_MAJOR) happens OUTSIDE the jit so the resolved
-    names are the cache key — flipping the env between calls can never hit
-    a stale trace."""
+    FSGM_TR=0; FSGM_EXTRACT_MAJOR, FSGM_RWTA) happens OUTSIDE the jit so
+    the resolved names are the cache key — flipping the env between calls
+    can never hit a stale trace."""
     backend = resolve_backend(backend)
     return _stereo_sgm_jit(img_l, img_r, params, backend,
-                           _extract_major(backend))
+                           _extract_major(backend), _rwta_pallas(backend))

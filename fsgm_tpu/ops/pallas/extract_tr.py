@@ -1,0 +1,77 @@
+"""Pallas TPU kernel: right-view WTA from the label-major S volume.
+
+The S-volume trick d_R(y,x) = argmin_d S(y, x+d, d) (SURVEY.md §2.1
+"LR-consistency") reads a diagonal of S.  The XLA realizations are the
+extraction stage's dominant cost (tools/extbench.py, KITTI size, 2026-08-19:
+take-along-axis gather 3.5 ms, pad+reshape skew on major S 4.0 ms — vs
+wta 1.1 / subpixel 1.6 / lr 1.1 / median 0.9).
+
+This kernel reads the label-major (H, L, W) volume the transposed-layout
+sweeps already produce and computes the whole thing in one streaming pass:
+
+  * the diagonal becomes a SHEAR — shift sublane-plane d left by d lanes —
+    done as log2(L) masked lane rolls (roll by 2^k where sublane bit k is
+    set), all in VMEM;
+  * positions x+d outside the true image width get s_invalid (the pad
+    lanes and the roll wrap both land in that mask);
+  * argmin with smallest-index tie-break in ONE sublane slice-halving
+    tree over packed (S << 8 | d) — bit-identical to np.argmin on the
+    s_invalid-filled diagonal (ops/extract.py::wta_right_from_s).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fsgm_tpu.ops.pallas.aggregate_pallas import _interpret
+from fsgm_tpu.ops.pallas.aggregate_tr import sub_min
+
+
+def _make_rwta_kernel(nl: int, w: int, w_true: int, rb: int,
+                      s_invalid: int):
+    def kernel(s_ref, o_ref):
+        sub = jax.lax.broadcasted_iota(jnp.int32, (nl, w), 0)   # d
+        lane = jax.lax.broadcasted_iota(jnp.int32, (nl, w), 1)  # x
+        for r in range(rb):
+            v = s_ref[r].astype(jnp.int32)                      # (L, W)
+            # shear: v[d, x] <- S[d, x + d] via log2(L) masked rolls
+            k = 1
+            while k < nl:
+                rolled = pltpu.roll(v, (-k) % w, 1)
+                v = jnp.where((sub & k) != 0, rolled, v)
+                k *= 2
+            # x + d past the true width (incl. roll wrap and lane pad):
+            # s_invalid, exactly the XLA/golden validity rule
+            v = jnp.where(lane + sub >= w_true, s_invalid, v)
+            packed = (v << 8) | sub            # tie -> smallest d
+            o_ref[r] = sub_min(packed) & 255   # (1, W)
+
+    return kernel
+
+
+def wta_right_major(s_major: jnp.ndarray, s_invalid: int,
+                    w_true: int | None = None,
+                    row_block: int = 8) -> jnp.ndarray:
+    """(H, L, W) S (label-major, lane pad allowed past w_true) -> (H, W)
+    int32 right-view disparity.  Bit-identical to
+    ops/extract.py::wta_right_from_s on the transposed volume
+    (tests/unit/test_extract_major.py)."""
+    h, nl, w = s_major.shape
+    if w_true is None:
+        w_true = w
+    assert (s_invalid << 8) < (1 << 31), s_invalid
+    rb = row_block if h % row_block == 0 else 1
+    kernel = _make_rwta_kernel(nl, w, w_true, rb, s_invalid)
+    # the output rides a (h, 1, w) carrier: a bare (rb, w) block would
+    # violate Mosaic's (8, 128)-divisible block rule whenever rb == 1
+    out = pl.pallas_call(
+        kernel, grid=(h // rb,),
+        in_specs=[pl.BlockSpec((rb, nl, w), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((rb, 1, w), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((h, 1, w), jnp.int32),
+        interpret=_interpret(),
+    )(s_major)
+    return out[:, 0, :w_true]

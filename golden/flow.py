@@ -79,6 +79,20 @@ def upsample_flow_2x(flow: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return up[:out_h, :out_w]
 
 
+def upsample_valid_2x(valid: np.ndarray, out_h: int, out_w: int
+                      ) -> np.ndarray:
+    """Nearest-neighbor 2x upsample of a bool validity plane, edge-extended
+    (the fb_grid='half' merge; fsgm_tpu/models/flow.py mirrors)."""
+    up = np.repeat(np.repeat(valid, 2, axis=0), 2, axis=1)
+    h, w = up.shape
+    if h < out_h:
+        up = np.concatenate([up, up[-1:].repeat(out_h - h, axis=0)], axis=0)
+    if w < out_w:
+        up = np.concatenate([up, up[:, -1:].repeat(out_w - w, axis=1)],
+                            axis=1)
+    return up[:out_h, :out_w]
+
+
 # --------------------------------------------------------------------------
 # 2D-label cost volume
 # --------------------------------------------------------------------------
@@ -304,6 +318,7 @@ def fsgm_flow(img1: np.ndarray, img2: np.ndarray, params: FlowParams,
                              np.asarray(prior_flow, dtype=np.float64)))
             bwd_half, _ = fsgm_flow(downsample2x(img2), downsample2x(img1),
                                     bwd_params, prior_flow=bwd_prior)
+            bwd_half_native = bwd_half   # fb_grid='half' checks it directly
             flow_bwd = upsample_flow_2x(bwd_half, flow.shape[0],
                                         flow.shape[1])
         else:
@@ -325,7 +340,18 @@ def fsgm_flow(img1: np.ndarray, img2: np.ndarray, params: FlowParams,
                                                 i1.shape[1])
                 p_lvl = final_params if lvl == 0 else params
                 flow_bwd = _flow_one_level(i1, i2, flow_bwd, p_lvl)
-        valid = fb_check(flow, flow_bwd, params.fb_max_diff)
+        if params.fb_grid == "half":
+            # mirror fsgm_tpu/models/flow.py: both fields on the half grid
+            # (the 'half' backward field is already there — checked
+            # directly, no up/down round trip), tolerance halves with the
+            # pixel size, validity plane nearest-upsampled
+            bwd_h = (bwd_half_native if params.fb_backward == "half"
+                     else downsample_flow_2x(flow_bwd))
+            valid_h = fb_check(downsample_flow_2x(flow), bwd_h,
+                               params.fb_max_diff * 0.5)
+            valid = upsample_valid_2x(valid_h, flow.shape[0], flow.shape[1])
+        else:
+            valid = fb_check(flow, flow_bwd, params.fb_max_diff)
     if return_intermediates:
         return flow, valid, dict(per_level=per_level)
     return flow, valid

@@ -90,3 +90,21 @@ def test_stereo_pipeline_major_extraction_exact(monkeypatch, lr_mode):
     got_minor = np.asarray(st.stereo_sgm(il, ir, p, backend="pallas_tr"))
     np.testing.assert_array_equal(got_major, ref)
     np.testing.assert_array_equal(got_minor, ref)
+
+
+@pytest.mark.parametrize("h,w,nl,wp", [(30, 47, 16, 47), (16, 40, 8, 48),
+                                       (24, 56, 32, 64), (15, 33, 64, 40)])
+def test_wta_right_major_pallas_matches_minor(h, w, nl, wp):
+    """The Pallas shear right-WTA kernel (ops/pallas/extract_tr.py) must be
+    bit-identical to the XLA S-trick gather, including lane-padded inputs
+    and odd row counts (rb=1 fallback)."""
+    from fsgm_tpu.ops.pallas.extract_tr import wta_right_major
+    s_invalid = 30000
+    rng = np.random.default_rng(h * w)
+    s = rng.integers(0, 2900, size=(h, w, nl)).astype(np.int16)
+    ref = ext.wta_right_from_s(jnp.asarray(s), s_invalid)
+    s_major = jnp.transpose(jnp.asarray(s), (0, 2, 1))
+    if wp > w:
+        s_major = jnp.pad(s_major, ((0, 0), (0, 0), (0, wp - w)))
+    got = wta_right_major(s_major, s_invalid, w_true=w)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

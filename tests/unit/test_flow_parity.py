@@ -217,3 +217,25 @@ def test_flow_sequence_tracks_beyond_search_range():
                                jnp.asarray(frames[2]), track, "xla")
     err_blank = np.abs(np.asarray(blank)[8:-8, 16:-16, 0] - 12)
     assert np.mean(err_blank <= 1.0) < 0.5, err_blank.mean()
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas_tr"])
+@pytest.mark.parametrize("mode", ["half", "full"])
+def test_flow_fb_grid_half_parity(pair, backend, mode):
+    # fb_grid='half' runs the FB check itself on the half grid (tolerance
+    # halved with the pixel size, validity nearest-upsampled); golden
+    # mirrors, so the validity planes must agree exactly
+    img1, img2, _ = pair
+    p = FlowParams(search_radius=3, levels=3, p1=7, p2=60,
+                   fb_backward=mode, fb_grid="half")
+    gold, gold_valid = gf.fsgm_flow(img1, img2, p)
+    ours, valid = jflow.flow_fsgm(jnp.asarray(img1), jnp.asarray(img2),
+                                  p, backend)
+    ours, valid = np.asarray(ours), np.asarray(valid)
+    np.testing.assert_array_equal(valid, gold_valid)
+    np.testing.assert_allclose(ours[gold_valid], gold[gold_valid],
+                               atol=1e-3)
+    # the half-grid verdict is constant over each 2x2 block by construction
+    h2, w2 = valid.shape[0] // 2 * 2, valid.shape[1] // 2 * 2
+    blocks = valid[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2)
+    assert bool(np.all(blocks == blocks[:, :1, :, :1]))

@@ -25,6 +25,7 @@ from fsgm_tpu.params import SGMParams
 from fsgm_tpu.io.synthetic import random_dot_stereo
 from fsgm_tpu.models.stereo import compute_s_volume
 from fsgm_tpu.ops import extract as ext
+from fsgm_tpu.ops.pallas.extract_tr import wta_right_major as _rwta_pallas
 
 H, W, D = 375, 1242, 128
 ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 32
@@ -77,6 +78,8 @@ def main():
         "subpix_maj": (lambda s8, sv, dv: jnp.sum(
             ext.subpixel_refine_major(sv + s8, dv)), (sm, d0)),
         "rwta_major": (lambda s8, sv: jnp.sum(ext.wta_right_from_s_major(
+            sv + s8, p.s_invalid).astype(jnp.float32)), (sm,)),
+        "rwta_palls": (lambda s8, sv: jnp.sum(_rwta_pallas(
             sv + s8, p.s_invalid).astype(jnp.float32)), (sm,)),
     }
     for name, (body, args) in rows.items():

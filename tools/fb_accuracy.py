@@ -42,9 +42,11 @@ def main() -> None:
         u, v = motions[i % len(motions)]
         pairs.append(constant_flow_pair(h, w, u, v, seed=i) + ((u, v),))
 
-    for mode in ("full", "cheap", "half", "single"):
+    for mode, grid in (("full", "full"), ("cheap", "full"),
+                       ("half", "full"), ("single", "full"),
+                       ("half", "half"), ("full", "half")):
         p = FlowParams(search_radius=args.radius, levels=args.levels,
-                       p1=7, p2=100, fb_backward=mode)
+                       p1=7, p2=100, fb_backward=mode, fb_grid=grid)
         fls, dens = [], []
         for img1, img2, gt, _ in pairs:
             flo, valid = flow_fsgm(jnp.asarray(img1), jnp.asarray(img2), p)
@@ -54,7 +56,8 @@ def main() -> None:
                        gt_valid, pred_valid=valid)
             fls.append(m["fl_all"])
             dens.append(valid.mean())
-        print(f"{mode:7s} Fl-all {100 * float(np.mean(fls)):6.2f}%  "
+        print(f"{mode:7s} grid={grid:4s} "
+              f"Fl-all {100 * float(np.mean(fls)):6.2f}%  "
               f"valid-kept {100 * float(np.mean(dens)):6.2f}%")
 
 
