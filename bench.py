@@ -247,7 +247,15 @@ def main() -> None:
                              levels=5 if cfg == "4kflow" else 4,
                              p1=7, p2=100,
                              fb_backward=os.environ.get("FSGM_BENCH_FB",
-                                                        "half"))
+                                                        "half"),
+                             # fb_grid='half' measured SLOWER at KITTI
+                             # size (28.7/29.5 vs 26.8 ms/frame, batch 8,
+                             # 2026-08-19) despite quartering the gather —
+                             # the flow-field downsample + broken fusion
+                             # eat the saving; accuracy-neutral knob kept
+                             # for study (tools/fb_accuracy.py)
+                             fb_grid=os.environ.get("FSGM_BENCH_FBGRID",
+                                                    "full"))
         pairs = [constant_flow_pair(h, w, 3, -2, seed=s)
                  for s in range(batch)]
         a = jnp.asarray(np.stack([p[0] for p in pairs]))

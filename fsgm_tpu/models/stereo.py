@@ -142,6 +142,35 @@ def extract_disparity(s: jnp.ndarray, params: SGMParams,
     return disp
 
 
+def extract_disparity_kernel(s_major: jnp.ndarray, params: SGMParams,
+                             d_right: jnp.ndarray | None = None
+                             ) -> jnp.ndarray:
+    """Fused-kernel extraction: ONE Pallas pass over the label-major S
+    yields WTA + the subpixel neighborhood + the sheared right-WTA
+    (ops/pallas/extract_tr.py); the rest of the stage (parabola, LR,
+    median, fill) is cheap (H, W) XLA.  S is never transposed to the
+    minor layout and never re-read."""
+    from fsgm_tpu.ops.pallas import extract_tr
+    need_rwta = params.lr_check and d_right is None
+    d_int, s_m, s_0, s_p, d_r = extract_tr.extract_stereo_major(
+        s_major, params.s_invalid, with_sub=params.subpixel,
+        with_rwta=need_rwta)
+    if need_rwta:
+        d_right = d_r
+    disp = d_int.astype(jnp.float32)
+    if params.subpixel:
+        disp = ext.subpixel_from_neighborhood(d_int, s_m, s_0, s_p,
+                                              s_major.shape[1])
+    if params.lr_check:
+        disp = ext.lr_check(disp, d_right, params.lr_max_diff,
+                            params.max_disp)
+    if params.median_filter:
+        disp = ext.median_filter_3x3(disp)
+    if params.fill_invalid:
+        disp = ext.interpolate_invalid(disp)
+    return disp
+
+
 def extract_disparity_major(s_major: jnp.ndarray, params: SGMParams,
                             d_right: jnp.ndarray | None = None
                             ) -> jnp.ndarray:
@@ -168,28 +197,31 @@ def extract_disparity_major(s_major: jnp.ndarray, params: SGMParams,
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def _stereo_sgm_jit(img_l: jnp.ndarray, img_r: jnp.ndarray,
                     params: SGMParams, backend: str,
-                    extract_major: bool = False,
+                    extract_mode: str = "minor",
                     rwta_pallas: bool = False) -> jnp.ndarray:
     d_right = None
     if backend == "pallas_tr":
-        # the tr sweeps natively produce label-MAJOR S; the right-WTA
-        # diagonal comes from the Pallas shear kernel on that layout
-        # (extract_tr.wta_right_major: 2.55 vs 3.43 ms for the XLA
-        # S-trick gather, tools/extbench.py 2026-08-19), then extraction
-        # runs in whichever layout measured faster (_extract_major)
+        # the tr sweeps natively produce label-MAJOR S; extraction runs in
+        # the measured-fastest mode (_extract_mode):
+        #   kernel - fused Pallas pass (WTA + neighborhood + sheared
+        #            right-WTA in one read of S, no transposes)
+        #   minor  - transpose S, XLA minor-layout extraction (right-WTA
+        #            from the Pallas shear kernel unless FSGM_RWTA=xla)
+        #   major  - XLA label-major extraction
         cen_l = census_transform(img_l, params.census_window)
         cen_r = census_transform(img_r, params.census_window)
         s_major = _s_volume_tr(cen_l, cen_r, img_l, params, major_out=True)
-        if params.lr_check:
-            if params.lr_mode == "reagg":
-                d_right = right_disparity_reagg(cen_l, cen_r, img_r,
-                                                params, backend)
-            elif rwta_pallas:
-                from fsgm_tpu.ops.pallas import extract_tr
-                d_right = extract_tr.wta_right_major(s_major,
-                                                     params.s_invalid)
-        if extract_major:
+        if params.lr_check and params.lr_mode == "reagg":
+            d_right = right_disparity_reagg(cen_l, cen_r, img_r,
+                                            params, backend)
+        if extract_mode == "kernel":
+            return extract_disparity_kernel(s_major, params,
+                                            d_right=d_right)
+        if extract_mode == "major":
             return extract_disparity_major(s_major, params, d_right=d_right)
+        if (params.lr_check and d_right is None and rwta_pallas):
+            from fsgm_tpu.ops.pallas import extract_tr
+            d_right = extract_tr.wta_right_major(s_major, params.s_invalid)
         s = jnp.transpose(s_major, (0, 2, 1))
         return extract_disparity(s, params, backend, d_right=d_right)
     s = compute_s_volume(img_l, img_r, params, backend)
@@ -205,16 +237,33 @@ def _extract_major(backend: str, default: str = "0") -> bool:
     """Label-major extraction (S stays (H, L, W); no merge transposes).
 
     Measured on the real TPU (2026-08-19, batch-16 KITTI): the minor-layout
-    extraction WINS for stereo — 13.74-13.96 ms/frame vs 14.36-14.80 with
-    major — XLA's cross-lane argmin/one-hot trees on the (H, W, D) layout
-    beat the non-minor-axis reductions plus the pad+reshape right-WTA skew,
-    outweighing the two transposes they require.  Flow measures neutral
-    (26.6-27.1 ms either way at batch 8) and keeps major as its default
-    (81 labels leave 37% lane pad in the minor layout; models/flow.py
-    passes default="1").  FSGM_EXTRACT_MAJOR overrides either way."""
+    extraction WINS for stereo over XLA-major — 13.74-13.96 ms/frame vs
+    14.36-14.80 — XLA's cross-lane argmin/one-hot trees on the (H, W, D)
+    layout beat the non-minor-axis reductions plus the pad+reshape
+    right-WTA skew, outweighing the two transposes they require.  Flow
+    measures neutral (26.6-27.1 ms either way at batch 8) and keeps major
+    as its default (81 labels leave 37% lane pad in the minor layout;
+    models/flow.py passes default="1").  FSGM_EXTRACT_MAJOR overrides.
+    Stereo has a third, fused-kernel mode — see _extract_mode."""
     import os
     return (backend == "pallas_tr"
             and os.environ.get("FSGM_EXTRACT_MAJOR", default) == "1")
+
+
+def _extract_mode(backend: str) -> str:
+    """Stereo extraction mode for the pallas_tr backend: 'kernel' (fused
+    Pallas extraction, the default), 'minor', or 'major' via FSGM_EXTRACT.
+    An explicit FSGM_EXTRACT_MAJOR (used by the layout parity tests) pins
+    the corresponding XLA mode."""
+    import os
+    if backend != "pallas_tr":
+        return "minor"
+    em = os.environ.get("FSGM_EXTRACT_MAJOR")
+    if em is not None:
+        return "major" if em == "1" else "minor"
+    mode = os.environ.get("FSGM_EXTRACT", "kernel")
+    assert mode in ("kernel", "minor", "major"), mode
+    return mode
 
 
 def _rwta_pallas(backend: str) -> bool:
@@ -235,4 +284,4 @@ def stereo_sgm(img_l: jnp.ndarray, img_r: jnp.ndarray, params: SGMParams,
     can never hit a stale trace."""
     backend = resolve_backend(backend)
     return _stereo_sgm_jit(img_l, img_r, params, backend,
-                           _extract_major(backend), _rwta_pallas(backend))
+                           _extract_mode(backend), _rwta_pallas(backend))

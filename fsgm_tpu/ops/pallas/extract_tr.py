@@ -52,6 +52,85 @@ def _make_rwta_kernel(nl: int, w: int, w_true: int, rb: int,
     return kernel
 
 
+BIG = 1 << 24   # out-of-range neighborhood sentinel (ops/extract.py::
+                # neighborhood_of_min contract: callers gate on interior)
+
+
+def _make_extract_kernel(nl: int, w: int, w_true: int, rb: int,
+                         s_invalid: int, with_sub: bool, with_rwta: bool):
+    """Fused stereo extraction on label-major S: per row, ONE read of the
+    (L, W) block computes packed WTA (argmin + S[d*], smallest-index
+    tie-break), the one-hot S[d*-1]/S[d*+1] neighborhood for subpixel, and
+    the sheared right-WTA — everything the volume is needed for, so the
+    pipeline never transposes S to the minor layout at all."""
+    def kernel(s_ref, *o_refs):
+        it = iter(o_refs)
+        d_ref = next(it)
+        if with_sub:
+            sm_ref, s0_ref, sp_ref = next(it), next(it), next(it)
+        if with_rwta:
+            r_ref = next(it)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (nl, w), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (nl, w), 1)
+        for r in range(rb):
+            # NOTE: lane-pad columns [w_true, w) need no masking for the
+            # column-local outputs (wta/neighborhood) — their results are
+            # sliced off; the shear (the only cross-column op) masks its
+            # own out-of-range sources below
+            v = s_ref[r].astype(jnp.int32)                   # (L, W)
+            packed = (v << 8) | sub
+            pm = sub_min(packed)                             # (1, W)
+            d = pm & 255
+            d_ref[r] = d
+            if with_sub:
+                s0_ref[r] = pm >> 8
+                sm_ref[r] = sub_min(jnp.where(sub == d - 1, v, BIG))
+                sp_ref[r] = sub_min(jnp.where(sub == d + 1, v, BIG))
+            if with_rwta:
+                k = 1
+                while k < nl:
+                    rolled = pltpu.roll(v, (-k) % w, 1)
+                    v = jnp.where((sub & k) != 0, rolled, v)
+                    k *= 2
+                v = jnp.where(lane + sub >= w_true, s_invalid, v)
+                r_ref[r] = sub_min((v << 8) | sub) & 255
+
+    return kernel
+
+
+def extract_stereo_major(s_major: jnp.ndarray, s_invalid: int,
+                         w_true: int | None = None,
+                         with_sub: bool = True, with_rwta: bool = True,
+                         row_block: int = 8):
+    """(H, L, W) S -> (d_int, s_m, s_0, s_p, d_right), each (H, w_true)
+    int32 (s_m/s_0/s_p None without with_sub; d_right None without
+    with_rwta).  Bit-identical to ext.wta / ext.neighborhood_of_min /
+    ext.wta_right_from_s on the transposed volume."""
+    h, nl, w = s_major.shape
+    if w_true is None:
+        w_true = w
+    assert (s_invalid << 8) < (1 << 31), s_invalid
+    rb = row_block if h % row_block == 0 else 1
+    kernel = _make_extract_kernel(nl, w, w_true, rb, s_invalid,
+                                  with_sub, with_rwta)
+    n_out = 1 + (3 if with_sub else 0) + (1 if with_rwta else 0)
+    spec = pl.BlockSpec((rb, 1, w), lambda i: (i, 0, 0))
+    shape = jax.ShapeDtypeStruct((h, 1, w), jnp.int32)
+    outs = pl.pallas_call(
+        kernel, grid=(h // rb,),
+        in_specs=[pl.BlockSpec((rb, nl, w), lambda i: (i, 0, 0))],
+        out_specs=[spec] * n_out, out_shape=[shape] * n_out,
+        interpret=_interpret(),
+    )(s_major)
+    outs = [o[:, 0, :w_true] for o in outs]
+    it = iter(outs)
+    d_int = next(it)
+    s_m, s_0, s_p = ((next(it), next(it), next(it)) if with_sub
+                     else (None, None, None))
+    d_right = next(it) if with_rwta else None
+    return d_int, s_m, s_0, s_p, d_right
+
+
 def wta_right_major(s_major: jnp.ndarray, s_invalid: int,
                     w_true: int | None = None,
                     row_block: int = 8) -> jnp.ndarray:

@@ -108,3 +108,56 @@ def test_wta_right_major_pallas_matches_minor(h, w, nl, wp):
         s_major = jnp.pad(s_major, ((0, 0), (0, 0), (0, wp - w)))
     got = wta_right_major(s_major, s_invalid, w_true=w)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.parametrize("with_sub,with_rwta", [(True, True), (True, False),
+                                                (False, True)])
+def test_extract_stereo_major_kernel_parity(with_sub, with_rwta):
+    """The fused extraction kernel's outputs (WTA, subpixel neighborhood,
+    sheared right-WTA) must each be bit-identical to the XLA minor-layout
+    functions they replace."""
+    from fsgm_tpu.ops.pallas.extract_tr import extract_stereo_major
+    s_invalid = 30000
+    rng = np.random.default_rng(42)
+    s = rng.integers(0, 2900, size=(30, 47, 16)).astype(np.int16)
+    sj = jnp.asarray(s)
+    s_major = jnp.transpose(sj, (0, 2, 1))
+    d_int, s_m, s_0, s_p, d_r = extract_stereo_major(
+        s_major, s_invalid, with_sub=with_sub, with_rwta=with_rwta)
+    d_ref = ext.wta(sj)
+    np.testing.assert_array_equal(np.asarray(d_int), np.asarray(d_ref))
+    if with_sub:
+        rm, r0, rp = ext.neighborhood_of_min(sj, d_ref)
+        np.testing.assert_array_equal(np.asarray(s_m), np.asarray(rm))
+        np.testing.assert_array_equal(np.asarray(s_0), np.asarray(r0))
+        np.testing.assert_array_equal(np.asarray(s_p), np.asarray(rp))
+    else:
+        assert s_m is None and s_0 is None and s_p is None
+    if with_rwta:
+        np.testing.assert_array_equal(
+            np.asarray(d_r),
+            np.asarray(ext.wta_right_from_s(sj, s_invalid)))
+    else:
+        assert d_r is None
+
+
+@pytest.mark.parametrize("lr_mode", ["s_trick", "reagg"])
+def test_full_pipeline_kernel_extraction(monkeypatch, lr_mode):
+    """stereo_sgm with the fused-kernel extraction mode (the pallas_tr
+    default) end-to-end vs golden and vs the minor-layout extraction."""
+    import golden.sgm as g
+    from fsgm_tpu.models.stereo import stereo_sgm
+    img_l, img_r, _ = random_dot_stereo(40, 56, 16, seed=7)
+    p = SGMParams(max_disp=16, p1=7, p2=60, lr_mode=lr_mode)
+    gold = g.sgm_stereo(img_l, img_r, p)
+    monkeypatch.delenv("FSGM_EXTRACT_MAJOR", raising=False)
+    monkeypatch.setenv("FSGM_EXTRACT", "kernel")
+    ours = np.asarray(stereo_sgm(jnp.asarray(img_l), jnp.asarray(img_r),
+                                 p, "pallas_tr"))
+    np.testing.assert_array_equal(ours < 0, gold < 0)
+    both = ours >= 0
+    np.testing.assert_allclose(ours[both], gold[both], atol=1e-3)
+    monkeypatch.setenv("FSGM_EXTRACT", "minor")
+    minor = np.asarray(stereo_sgm(jnp.asarray(img_l), jnp.asarray(img_r),
+                                  p, "pallas_tr"))
+    np.testing.assert_array_equal(ours, minor)
