@@ -116,11 +116,15 @@ def extract_stereo_major(s_major: jnp.ndarray, s_invalid: int,
     n_out = 1 + (3 if with_sub else 0) + (1 if with_rwta else 0)
     spec = pl.BlockSpec((rb, 1, w), lambda i: (i, 0, 0))
     shape = jax.ShapeDtypeStruct((h, 1, w), jnp.int32)
+    # the default 16 MB scoped-vmem limit OOMs at 4K (the double-buffered
+    # (8, 128, 3840) i16 input block alone is 2x7.9 MB); same 96 MB limit
+    # as the aggregation sweeps
+    cp = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
     outs = pl.pallas_call(
         kernel, grid=(h // rb,),
         in_specs=[pl.BlockSpec((rb, nl, w), lambda i: (i, 0, 0))],
         out_specs=[spec] * n_out, out_shape=[shape] * n_out,
-        interpret=_interpret(),
+        compiler_params=cp, interpret=_interpret(),
     )(s_major)
     outs = [o[:, 0, :w_true] for o in outs]
     it = iter(outs)
@@ -151,6 +155,8 @@ def wta_right_major(s_major: jnp.ndarray, s_invalid: int,
         in_specs=[pl.BlockSpec((rb, nl, w), lambda i: (i, 0, 0))],
         out_specs=pl.BlockSpec((rb, 1, w), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((h, 1, w), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=_interpret(),
     )(s_major)
     return out[:, 0, :w_true]
