@@ -47,7 +47,8 @@ def main() -> None:
     from fsgm_tpu.params import FlowParams, DIRS_8
     from fsgm_tpu.io.synthetic import constant_flow_pair
     from fsgm_tpu.ops.census import census_transform
-    from fsgm_tpu.ops.cost import cost_volume_flow
+    from fsgm_tpu.ops.cost import (cost_volume_flow,
+                                   cost_volume_flow_major)
     from fsgm_tpu.ops import aggregate as agg
     from fsgm_tpu.ops import extract as ext
     from fsgm_tpu.models import flow as mflow
@@ -57,8 +58,10 @@ def main() -> None:
                         p1=7, p2=100)
     extw = params.window_extent
     nl = extw * extw
-    be = args.backend
+    from fsgm_tpu.models.stereo import resolve_backend
+    be = resolve_backend(args.backend)   # 'pallas' -> pallas_tr (default)
     iters = args.iters
+    major = be == "pallas_tr"            # the label-major model path
 
     i1np, i2np, _ = constant_flow_pair(h, w, 3, -2, seed=0)
     i1, i2 = jnp.asarray(i1np), jnp.asarray(i2np)
@@ -110,10 +113,16 @@ def main() -> None:
         def cencost(s8, x, y):
             c1 = census_transform(x + s8, params.census_window)
             c2 = census_transform(y + s8, params.census_window)
-            c = cost_volume_flow(c1, c2, zero_uv, zero_uv, params.radius
-                                 if hasattr(params, "radius")
-                                 else params.search_radius,
-                                 params.invalid_cost, identity_base=True)
+            if be == "pallas_tr":
+                c = cost_volume_flow_major(
+                    c1, c2, zero_uv, zero_uv, params.search_radius,
+                    params.invalid_cost, identity_base=True,
+                    nd_pad=-(-nl // 8) * 8)
+            else:
+                c = cost_volume_flow(c1, c2, zero_uv, zero_uv,
+                                     params.search_radius,
+                                     params.invalid_cost,
+                                     identity_base=True)
             return jnp.sum(c, dtype=jnp.float32)
         ms_cc = _timeit(loop(cencost), (a, b), iters)
 
@@ -123,7 +132,23 @@ def main() -> None:
                                  params.search_radius, params.invalid_cost,
                                  identity_base=True)
 
-        if be == "pallas":
+        if be == "pallas_tr":
+            from fsgm_tpu.ops.pallas import aggregate_tr
+            cost0m = cost_volume_flow_major(
+                c1, c2, zero_uv, zero_uv, params.search_radius,
+                params.invalid_cost, identity_base=True,
+                nd_pad=-(-nl // 8) * 8)
+
+            def aggf(s8, c, g):
+                cv = jnp.clip(c + s8 % 3, 0, 255).astype(jnp.uint8)
+                s = aggregate_tr.aggregate_paths_tr(
+                    cv, g, DIRS_8, params.p1, params.p2,
+                    params.adaptive_p2, label_ext=extw,
+                    s_max=8 * (params.invalid_cost + params.p2),
+                    major_out=True)
+                return jnp.sum(s, dtype=jnp.float32)
+            ms_ag = _timeit(loop(aggf), (cost0m, a), iters)
+        elif be == "pallas":
             from fsgm_tpu.ops.pallas import aggregate_pallas as pagg
 
             def aggf(s8, c, g):
@@ -142,9 +167,16 @@ def main() -> None:
                                         params.p2, params.adaptive_p2,
                                         neighbor_min=nm)
                 return jnp.sum(s, dtype=jnp.float32)
-        ms_ag = _timeit(loop(aggf), (cost0, a), iters)
+        if be != "pallas_tr":
+            ms_ag = _timeit(loop(aggf), (cost0, a), iters)
 
-        if be == "pallas":
+        if be == "pallas_tr":
+            from fsgm_tpu.ops.pallas import aggregate_tr
+            s0 = aggregate_tr.aggregate_paths_tr(
+                cost0m, a, DIRS_8, params.p1, params.p2, params.adaptive_p2,
+                label_ext=extw, s_max=8 * (params.invalid_cost + params.p2),
+                major_out=True)[:, :nl, :]
+        elif be == "pallas":
             from fsgm_tpu.ops.pallas import aggregate_pallas as pagg
             s0 = pagg.aggregate_paths(
                 cost0, a, DIRS_8, params.p1, params.p2, params.adaptive_p2,
@@ -156,11 +188,13 @@ def main() -> None:
 
         def extract(s8, s_v):
             sv = s_v + s8.astype(s_v.dtype)
-            du, dv, l_int = mflow.wta_flow(sv, params.search_radius)
+            wta_fn = mflow.wta_flow_major if major else mflow.wta_flow
+            sub_fn = (mflow.subpixel_flow_major if major
+                      else mflow.subpixel_flow)
+            du, dv, l_int = wta_fn(sv, params.search_radius)
             u = du.astype(jnp.float32)
             v = dv.astype(jnp.float32)
-            du_o, dv_o = mflow.subpixel_flow(sv, l_int,
-                                             params.search_radius)
+            du_o, dv_o = sub_fn(sv, l_int, params.search_radius)
             u, v = u + du_o, v + dv_o
             u = ext.median_filter_3x3(u)
             v = ext.median_filter_3x3(v)
@@ -190,7 +224,8 @@ def main() -> None:
                        prior_v.astype(jnp.float32)], axis=-1)
 
     def level0(s8, a, b):
-        f = mflow._flow_one_level(a + s8, b + s8, prior, params, be)
+        f = mflow._flow_one_level(a + s8, b + s8, prior, params, be,
+                                  major=major)
         return jnp.sum(f)
     ms_l0 = _timeit(loop(level0), (i1, i2), iters)
     print(f"{'level 0 full (real warp)':28s} {ms_l0:8.2f} ms")
@@ -233,6 +268,35 @@ def _compose(args, params, loop, iters, i1, i2, prior, be):
         def body(s8, a, b):
             c1 = census_transform(a + s8, params.census_window)
             c2 = census_transform(b + s8, params.census_window)
+            if be == "pallas_tr":
+                from fsgm_tpu.ops.pallas import aggregate_tr
+                cm = cost_volume_flow_major(c1, c2, base_u, base_v,
+                                            params.search_radius,
+                                            params.invalid_cost,
+                                            identity_base=False,
+                                            nd_pad=-(-nd // 8) * 8)
+                if stage in ("cost", "transpose"):
+                    return jnp.sum(cm, dtype=jnp.float32)
+                s = aggregate_tr.aggregate_paths_tr(
+                    cm, a, DIRS_8, params.p1, params.p2,
+                    params.adaptive_p2, label_ext=extw, s_max=s_max,
+                    major_out=True)[:, :nd, :]
+                if stage == "agg":
+                    return jnp.sum(s, dtype=jnp.float32)
+                du, dv, l_int = mflow.wta_flow_major(s,
+                                                     params.search_radius)
+                u = (base_u + du).astype(jnp.float32)
+                v = (base_v + dv).astype(jnp.float32)
+                if stage == "wta":
+                    return jnp.sum(u) + jnp.sum(v)
+                du_o, dv_o = mflow.subpixel_flow_major(
+                    s, l_int, params.search_radius)
+                u, v = u + du_o, v + dv_o
+                if stage == "subpixel":
+                    return jnp.sum(u) + jnp.sum(v)
+                u = ext.median_filter_3x3(u)
+                v = ext.median_filter_3x3(v)
+                return jnp.sum(u) + jnp.sum(v)
             if be == "pallas":
                 from fsgm_tpu.ops.pallas import (aggregate_pallas as pagg,
                                                  transpose_pallas as ptr)
