@@ -161,14 +161,18 @@ def _make_tr_kernel(dirs, nd: int, w: int, rb: int, reverse: bool,
                 o = offs[k]
                 prev = carry_ref[o + ady - 1].astype(cdt)
                 m = sub_min(prev)                         # (1, w)
-                nm = nmin(prev)                           # (nd, w)
+                # min commutes with the masked shift (mask value INF is
+                # absorbed), so pre-minimizing prev with its neighbor term
+                # shifts ONE (nd, w) operand instead of two — the kernel
+                # is VMEM-round-trip bound per op, so this is a direct
+                # ~2-op/row saving on every dx != 0 direction
+                cand = jnp.minimum(prev, nmin(prev))      # (nd, w)
                 if dx != 0:
-                    prev = _lane_shift(prev, dx, lane, inf)
-                    nm = _lane_shift(nm, dx, lane, inf)
+                    cand = _lane_shift(cand, dx, lane, inf)
                     m = _lane_shift(m, dx, lane, inf)
                 mp = m + p2e_ref[r, k][None, :].astype(cdt)
-                best = jnp.minimum(jnp.minimum(prev, nm), mp)
-                # where x-dx is outside, prev=nm=m=INF -> l = cost
+                best = jnp.minimum(cand, mp)
+                # where x-dx is outside, cand=m=INF -> l = cost
                 # (+INF-INF): the golden edge rule, mask-free
                 l = cost + best - m
                 if ady == 2:
@@ -180,9 +184,22 @@ def _make_tr_kernel(dirs, nd: int, w: int, rb: int, reverse: bool,
         if with_carry:
             @pl.when(i == n_steps - 1)
             def _():
-                cout_ref[...] = carry_ref[...]
+                cout_ref[...] = carry_ref[...].astype(cout_ref.dtype)
 
     return kernel, n_units
+
+
+def _scratch_dt(cdt, carry_dt):
+    """In-kernel carry scratch dtype.  carry_dt (i16 when bounds fit) by
+    default — half the carry VMEM traffic; FSGM_TR_CARRY32=1 keeps the
+    scratch in the compute dtype instead, dropping the i16<->i32
+    conversion on every carry load/store (2 vector ops per direction per
+    row) at 2x carry traffic — an A/B probe separating the op-issue-bound
+    vs VMEM-bandwidth-bound hypotheses (NOTES-PERF).  Exactness is
+    unaffected either way (carry values are bounded by Cmax + P2)."""
+    if os.environ.get("FSGM_TR_CARRY32", "0") == "1":
+        return cdt
+    return carry_dt
 
 
 def tr_family_sweep(cost_t: jnp.ndarray, img: jnp.ndarray,
@@ -214,6 +231,7 @@ def tr_family_sweep(cost_t: jnp.ndarray, img: jnp.ndarray,
     nmin = (make_tr_nmin_1d(p1, inf) if label_ext is None
             else make_tr_nmin_2d(p1, label_ext, inf))
     _, carry_dt = plan_dtypes(p2, None)
+    scratch_dt = _scratch_dt(cdt, carry_dt)
     # NOTE: _p2_effective takes the SIGNED dy (the predecessor offset);
     # only the kernel's scan order is canonicalized.
     p2e = jnp.stack([_p2_effective(img, dy, dx, p1, p2, adaptive_p2,
@@ -229,7 +247,7 @@ def tr_family_sweep(cost_t: jnp.ndarray, img: jnp.ndarray,
 
     with_carry = init_carry is not None or return_carry
     kernel, n_units = _make_tr_kernel(canon, nd, w, rb, reverse, nmin,
-                                      s_t.dtype, cdt, inf, carry_dt,
+                                      s_t.dtype, cdt, inf, scratch_dt,
                                       n_steps, with_carry)
     in_specs = [
         pl.BlockSpec((rb, nd, w), lambda i: (blk(i), 0, 0)),
@@ -237,7 +255,7 @@ def tr_family_sweep(cost_t: jnp.ndarray, img: jnp.ndarray,
         pl.BlockSpec((rb, nd, w), lambda i: (blk(i), 0, 0)),
     ]
     out_spec = pl.BlockSpec((rb, nd, w), lambda i: (blk(i), 0, 0))
-    scratch = [pltpu.VMEM((n_units, nd, w), carry_dt)]
+    scratch = [pltpu.VMEM((n_units, nd, w), scratch_dt)]
     cp = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
 
     if not with_carry:
@@ -307,13 +325,13 @@ def _make_tr_dual_kernel(dirs_d, dirs_u, nd: int, w: int, rb: int,
                     o = offs[k]
                     prev = carry_ref[o + ady - 1].astype(cdt)
                     m = sub_min(prev)
-                    nm = nmin(prev)
+                    # pre-min before the shift: see _make_tr_kernel
+                    cand = jnp.minimum(prev, nmin(prev))
                     if dx != 0:
-                        prev = _lane_shift(prev, dx, lane, inf)
-                        nm = _lane_shift(nm, dx, lane, inf)
+                        cand = _lane_shift(cand, dx, lane, inf)
                         m = _lane_shift(m, dx, lane, inf)
                     mp = m + p2e_ref[r, k][None, :].astype(cdt)
-                    best = jnp.minimum(jnp.minimum(prev, nm), mp)
+                    best = jnp.minimum(cand, mp)
                     l = cost + best - m
                     if ady == 2:
                         carry_ref[o + 1] = carry_ref[o]
@@ -350,6 +368,7 @@ def tr_dual_family_sweep(cost_t: jnp.ndarray, img: jnp.ndarray,
     nmin = (make_tr_nmin_1d(p1, inf) if label_ext is None
             else make_tr_nmin_2d(p1, label_ext, inf))
     _, carry_dt = plan_dtypes(p2, None)
+    carry_dt = _scratch_dt(cdt, carry_dt)
 
     def p2e_of(family):
         return jnp.stack([_p2_effective(img, dy, dx, p1, p2, adaptive_p2,
