@@ -222,3 +222,35 @@ def test_carry_seam_continuation_exact(family):
     got[first] = np.asarray(sa).transpose(0, 2, 1)
     got[second] = np.asarray(sb).transpose(0, 2, 1)
     np.testing.assert_array_equal(got, gold)
+
+
+@pytest.mark.parametrize("dirs", [DIRS_8, DIRS_16])
+def test_carry32_scratch_matches(volume, dirs, monkeypatch):
+    """FSGM_TR_CARRY32=1 (i32 carry scratch, no i16<->i32 conversions)
+    must be bit-identical to the default i16 scratch, including across a
+    tile seam (the EXTERNAL carry interface stays carry_dt)."""
+    img, _, cost = volume
+    p1, p2 = 7, 60
+    cost_hlw = jnp.asarray(cost.transpose(0, 2, 1), dtype=jnp.uint8)
+    base = ptr.aggregate_paths_tr(cost_hlw, jnp.asarray(img), dirs, p1, p2,
+                                  False)
+    monkeypatch.setenv("FSGM_TR_CARRY32", "1")
+    got = ptr.aggregate_paths_tr(cost_hlw, jnp.asarray(img), dirs, p1, p2,
+                                 False)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
+    # seam continuation: carry crosses the i32-scratch -> i16-interface
+    # boundary and back
+    fam = [r for r in dirs if r[0] > 0]
+    h = cost_hlw.shape[0]
+    cut = h // 2
+    sa, carry = ptr.tr_family_sweep(
+        cost_hlw[:cut], jnp.asarray(img[:cut]), fam, p1, p2, False,
+        jnp.zeros_like(cost_hlw[:cut], dtype=jnp.int32), return_carry=True)
+    sb = ptr.tr_family_sweep(
+        cost_hlw[cut:], jnp.asarray(img[cut:]), fam, p1, p2, False,
+        jnp.zeros_like(cost_hlw[cut:], dtype=jnp.int32), init_carry=carry)
+    whole = ptr.tr_family_sweep(
+        cost_hlw, jnp.asarray(img), fam, p1, p2, False,
+        jnp.zeros_like(cost_hlw, dtype=jnp.int32))
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(sa), np.asarray(sb)]), np.asarray(whole))
