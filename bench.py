@@ -280,11 +280,13 @@ def main() -> None:
         a = jnp.asarray(np.stack([p[0] for p in pairs]))
         b = jnp.asarray(np.stack([p[1] for p in pairs]))
 
+        from fsgm_tpu.models.stereo import stereo_sgm_batch
+
         @jax.jit
         def run(x, y, salt):
-            out = jax.vmap(
-                lambda il, ir: stereo_sgm(il + salt, ir + salt, params,
-                                          backend))(x, y)
+            # batched entry: horizontal-family sweeps lane-fold the batch
+            # (bit-identical to vmapped stereo_sgm; test_batch_fold.py)
+            out = stereo_sgm_batch(x + salt, y + salt, params, backend)
             return jnp.sum(out)
 
         d_eff = d

@@ -274,6 +274,81 @@ def _rwta_pallas(backend: str) -> bool:
             and os.environ.get("FSGM_RWTA", "pallas") == "pallas")
 
 
+def _s_volume_tr_batch(cen_l: jnp.ndarray, cen_r: jnp.ndarray,
+                       imgs: jnp.ndarray, params: SGMParams,
+                       right_reference: bool = False) -> jnp.ndarray:
+    """Batched label-major S: vertical families vmapped per frame, the
+    horizontal family lane-folded across the batch (its (W, L, H) layout
+    has short H lanes; see aggregate_paths_tr_batch)."""
+    from fsgm_tpu.ops.cost import cost_volume_stereo_major
+    from fsgm_tpu.ops.pallas import aggregate_tr
+    cost = jax.vmap(lambda a, b: cost_volume_stereo_major(
+        a, b, params.max_disp, params.invalid_cost, right_reference))(
+        cen_l, cen_r)
+    return aggregate_tr.aggregate_paths_tr_batch(
+        cost, imgs, params.dirs, params.p1, params.p2, params.adaptive_p2,
+        s_max=params.s_invalid, major_out=True)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _stereo_sgm_batch_jit(imgs_l: jnp.ndarray, imgs_r: jnp.ndarray,
+                          params: SGMParams, backend: str,
+                          extract_mode: str, rwta_pallas: bool,
+                          fold: bool = True) -> jnp.ndarray:
+    if backend != "pallas_tr" or not fold:
+        return jax.vmap(
+            lambda a, b: _stereo_sgm_jit(a, b, params, backend,
+                                         extract_mode, rwta_pallas))(
+            imgs_l, imgs_r)
+    cen = jax.vmap(lambda x: census_transform(x, params.census_window))
+    cen_l, cen_r = cen(imgs_l), cen(imgs_r)
+    s_major = _s_volume_tr_batch(cen_l, cen_r, imgs_l, params)
+    d_right = None
+    if params.lr_check and params.lr_mode == "reagg":
+        s_r = _s_volume_tr_batch(cen_l, cen_r, imgs_r, params,
+                                 right_reference=True)
+        d_right = jax.vmap(ext.wta_major)(s_r)
+
+    def one(s, dr=None):
+        if extract_mode == "kernel":
+            return extract_disparity_kernel(s, params, d_right=dr)
+        if extract_mode == "major":
+            return extract_disparity_major(s, params, d_right=dr)
+        if params.lr_check and dr is None and rwta_pallas:
+            from fsgm_tpu.ops.pallas import extract_tr
+            dr = extract_tr.wta_right_major(s, params.s_invalid)
+        return extract_disparity(jnp.transpose(s, (0, 2, 1)), params,
+                                 backend, d_right=dr)
+
+    if d_right is None:
+        return jax.vmap(one)(s_major)
+    return jax.vmap(one)(s_major, d_right)
+
+
+def stereo_sgm_batch(imgs_l: jnp.ndarray, imgs_r: jnp.ndarray,
+                     params: SGMParams, backend: str = "xla"
+                     ) -> jnp.ndarray:
+    """Batched stereo pipeline: (B, H, W) uint8 pairs -> (B, H, W) f32.
+
+    Bit-identical to stacking stereo_sgm over the batch (the fold touches
+    only the horizontal family, which has no cross-lane ops —
+    tests/unit/test_batch_fold.py), but the horizontal sweeps run ONCE on
+    B*H-wide lanes instead of B serialized short-lane passes.  This is the
+    frame-DP fast path the bench and batch CLI use on one chip."""
+    import os
+    backend = resolve_backend(backend)
+    # fold only when the per-frame lane count (padded height) is small
+    # enough to pay (aggregate_tr.fold_max_lanes: measured gate); the
+    # serialized fallback is the plain vmap over stereo_sgm
+    from fsgm_tpu.ops.pallas.aggregate_tr import fold_max_lanes
+    hp = -(-imgs_l.shape[1] // 8) * 8
+    fold = (os.environ.get("FSGM_BATCH_FOLD", "1") != "0"
+            and hp <= fold_max_lanes())
+    return _stereo_sgm_batch_jit(imgs_l, imgs_r, params, backend,
+                                 _extract_mode(backend),
+                                 _rwta_pallas(backend), fold)
+
+
 def stereo_sgm(img_l: jnp.ndarray, img_r: jnp.ndarray, params: SGMParams,
                backend: str = "xla") -> jnp.ndarray:
     """Full stereo pipeline: (H, W) uint8 pair -> (H, W) float32 disparity.

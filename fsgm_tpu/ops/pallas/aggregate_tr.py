@@ -410,6 +410,152 @@ def tr_dual_family_sweep(cost_t: jnp.ndarray, img: jnp.ndarray,
     return s_d + s_u
 
 
+import functools as _ft
+
+
+def fold_max_lanes() -> int:
+    """Per-frame lane-count ceiling for the batch lane-fold.  Measured
+    2026-08-19 (NOTES-PERF "horizontal-family batch lane-fold"): folding
+    WINS when the per-frame lane count (padded image height) is small —
+    Tsukuba hp=288 2.73 -> 2.39 ms/frame, flow coarse levels — and LOSES
+    at KITTI hp=376 (8-path 10.75 -> 10.88-11.16; 16-path 13.54 -> 15.6-
+    17.8: the folded i16 S unfold transpose outweighs the short-lane
+    saving once lanes are already multiple vregs wide).  Default gates at
+    320; FSGM_FOLD_MAXH overrides (0 disables all folding)."""
+    return int(os.environ.get("FSGM_FOLD_MAXH", "320"))
+
+
+@_ft.lru_cache(maxsize=None)
+def _hfamily_sweep_cv(family: Tuple[Tuple[int, int], ...], p1: int,
+                      p2: int, adaptive_p2: bool, label_ext: int | None):
+    """custom_vmap'd horizontal-family sweep: under jax.vmap, FOLD the
+    batch into the lane axis instead of serializing the Pallas grid.
+
+    Valid because these canonical directions are all (ady, dx=0): the
+    kernel has NO cross-lane operations (label mins ride sublanes, the
+    scan rides the grid), so per-lane results are bit-exact per frame.
+    Every vmapped consumer benefits transparently — the flow pyramid
+    under the bench's frame vmap and the fwd/bwd lockstep vmap above all
+    (the horizontal volume's lanes are the image HEIGHT, the short axis;
+    see aggregate_paths_tr_batch for the measured rationale).  Nested
+    vmaps fold recursively."""
+    assert all(dx == 0 for _, dx in family), family
+
+    def base(cost_t, img, s_t):
+        return tr_family_sweep(cost_t, img, list(family), p1, p2,
+                               adaptive_p2, s_t, label_ext)
+
+    cv = jax.custom_batching.custom_vmap(base)
+
+    @cv.def_vmap
+    def _rule(axis_size, in_batched, cost_t, img, s_t):
+        b = axis_size
+        if not in_batched[0]:
+            cost_t = jnp.broadcast_to(cost_t, (b,) + cost_t.shape)
+        if not in_batched[1]:
+            img = jnp.broadcast_to(img, (b,) + img.shape)
+        if not in_batched[2]:
+            s_t = jnp.broadcast_to(s_t, (b,) + s_t.shape)
+        _, w, nd, hp = cost_t.shape
+        if hp > fold_max_lanes():
+            # lanes already wide: folding measured slower (see
+            # fold_max_lanes); serialize over the leading grid dim like
+            # plain vmap would (base is the cv itself — recursion)
+            plain = lambda c, g, s: tr_family_sweep(  # noqa: E731
+                c, g, list(family), p1, p2, adaptive_p2, s, label_ext)
+            return jax.vmap(plain)(cost_t, img, s_t), True
+        fold = lambda x: jnp.transpose(x, (1, 2, 0, 3)).reshape(  # noqa
+            w, nd, b * hp)
+        out = base(fold(cost_t),
+                   jnp.transpose(img, (1, 0, 2)).reshape(w, b * hp),
+                   fold(s_t))
+        out = out.reshape(w, nd, b, hp)
+        return jnp.transpose(out, (2, 0, 1, 3)), True
+
+    return cv
+
+
+def aggregate_paths_tr_batch(cost_bhlw: jnp.ndarray, imgs: jnp.ndarray,
+                             dirs: Sequence[Tuple[int, int]],
+                             p1: int, p2: int, adaptive_p2: bool = False,
+                             label_ext: int | None = None,
+                             s_max: int | None = None,
+                             major_out: bool = False) -> jnp.ndarray:
+    """Batched aggregate_paths_tr with the HORIZONTAL family lane-folded.
+
+    The horizontal-family sweeps run on the transposed (W, L, H) volume,
+    so their vector lanes are the IMAGE HEIGHT — short (375 at KITTI,
+    288 at Tsukuba) compared to the vertical family's W lanes (1248).
+    Measured per-direction cost is ~1.5x the row sweeps purely from that
+    (NOTES-PERF stage roofline).  A vmapped batch serializes the Pallas
+    grid (leading batch dimension), wasting the short lanes B times over.
+
+    This entry folds the batch INTO the lane axis instead: per-frame
+    (W, L, Hp) volumes concatenate to one (W, L, B*Hp) sweep.  The
+    horizontal family has NO cross-lane operations (its canonical
+    directions are (dx, 0) -> ady=1, dx=0: the label min/neighbor ops ride
+    sublanes, the scan rides the grid), so per-lane results are bit-exact
+    per frame by construction; the Hp pad between frames is the same
+    neutral zero-cost region the unbatched path already uses.  The
+    vertical family keeps the plain vmap (its lanes are already W-wide).
+
+    cost_bhlw: (B, H, L, W) u8; imgs: (B, H, W).  Returns (B, H, W, L)
+    int16/int32 — or (B, H, L, W) with major_out=True."""
+    b, h, nd, w = cost_bhlw.shape
+    s_dtype, _ = plan_dtypes(p2, s_max)
+
+    down = [r for r in dirs if r[0] > 0]
+    up = [r for r in dirs if r[0] < 0]
+    horiz = [r for r in dirs if r[0] == 0]
+
+    s = None
+    if down or up:
+        def vert(c, img):
+            if down and up and _dual_enabled():
+                return tr_dual_family_sweep(c, img, down, up, p1, p2,
+                                            adaptive_p2, s_dtype, label_ext)
+            s_v = jnp.zeros((h, nd, w), s_dtype)
+            if down:
+                s_v = tr_family_sweep(c, img, down, p1, p2, adaptive_p2,
+                                      s_v, label_ext)
+            if up:
+                s_v = tr_family_sweep(c, img, up, p1, p2, adaptive_p2,
+                                      s_v, label_ext)
+            return s_v
+        s = jax.vmap(vert)(cost_bhlw, imgs)
+
+    if horiz:
+        hp, wp = _pad8(h), _pad8(w)
+        # ONE u8 transpose pass: pad first so (3, 2, 0, 1) lands directly
+        # on the folded (W, L, B*Hp) layout
+        cb = jnp.pad(cost_bhlw,
+                     ((0, 0), (0, hp - h), (0, 0), (0, wp - w)))
+        cwlh = jnp.transpose(cb, (3, 2, 0, 1)).reshape(wp, nd, b * hp)
+        imgt = jnp.pad(imgs, ((0, 0), (0, hp - h), (0, wp - w)),
+                       mode="edge")
+        imgt = jnp.transpose(imgt, (2, 0, 1)).reshape(wp, b * hp)
+        fwd = [(dx, 0) for dy, dx in horiz if dx > 0]
+        bwd = [(dx, 0) for dy, dx in horiz if dx < 0]
+        if fwd and bwd and _dual_enabled():
+            s_h = tr_dual_family_sweep(cwlh, imgt, fwd, bwd, p1, p2,
+                                       adaptive_p2, s_dtype, label_ext)
+        else:
+            s_h = jnp.zeros((wp, nd, b * hp), s_dtype)
+            if fwd:
+                s_h = tr_family_sweep(cwlh, imgt, fwd, p1, p2,
+                                      adaptive_p2, s_h, label_ext)
+            if bwd:
+                s_h = tr_family_sweep(cwlh, imgt, bwd, p1, p2,
+                                      adaptive_p2, s_h, label_ext)
+        s_h = s_h[:w].reshape(w, nd, b, hp)[..., :h]
+        s_h = jnp.transpose(s_h, (2, 3, 1, 0))                 # (B,H,L,W)
+        s = s + s_h if s is not None else s_h
+
+    if major_out:
+        return s
+    return jnp.transpose(s, (0, 1, 3, 2))
+
+
 def _dual_enabled() -> bool:
     """Fused dual-family launch — measured NEUTRAL on the real TPU
     (stereo batch-16: 13.87 vs 13.85 ms/frame; flow batch-1: 62.1 vs
@@ -491,13 +637,22 @@ def aggregate_paths_tr(cost_hlw: jnp.ndarray, img: jnp.ndarray,
             s_h = tr_dual_family_sweep(cost_wlh, imgt, fwd, bwd, p1, p2,
                                        adaptive_p2, s_dtype, label_ext)
         else:
+            # via the custom_vmap wrapper: under jax.vmap these sweeps
+            # lane-fold the batch (bit-exact; the family has no
+            # cross-lane ops) instead of serializing the Pallas grid —
+            # this is what batches the flow pyramid's column sweeps.
+            # FSGM_HFOLD=0 pins the plain serialized sweep for A/B.
+            if os.environ.get("FSGM_HFOLD", "1") == "0":
+                sweep = lambda f: (lambda c, g, s: tr_family_sweep(  # noqa
+                    c, g, list(f), p1, p2, adaptive_p2, s, label_ext))
+            else:
+                sweep = lambda f: _hfamily_sweep_cv(  # noqa: E731
+                    tuple(f), p1, p2, adaptive_p2, label_ext)
             s_h = jnp.zeros((wp, nd, hp), s_dtype)
             if fwd:
-                s_h = tr_family_sweep(cost_wlh, imgt, fwd, p1, p2,
-                                      adaptive_p2, s_h, label_ext)
+                s_h = sweep(fwd)(cost_wlh, imgt, s_h)
             if bwd:
-                s_h = tr_family_sweep(cost_wlh, imgt, bwd, p1, p2,
-                                      adaptive_p2, s_h, label_ext)
+                s_h = sweep(bwd)(cost_wlh, imgt, s_h)
         s_h = s_h[:w]
 
     if major_out:
