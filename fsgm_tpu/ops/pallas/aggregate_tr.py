@@ -37,6 +37,7 @@ aggregate_pallas.py: SURVEY.md §2.1 "SGM path aggregation".
 
 from __future__ import annotations
 
+import functools as _ft
 import os
 from typing import Callable, Sequence, Tuple
 
@@ -408,9 +409,6 @@ def tr_dual_family_sweep(cost_t: jnp.ndarray, img: jnp.ndarray,
         scratch_shapes=scratch, compiler_params=cp, interpret=_interpret(),
     )(cost_t, cost_t, p2e_d, p2e_u)
     return s_d + s_u
-
-
-import functools as _ft
 
 
 def fold_max_lanes() -> int:
