@@ -21,7 +21,8 @@ from fsgm_tpu.params import (SGMParams, FlowParams, DistParams, DIRS_8,
 __version__ = "0.1.0"
 __all__ = [
     "SGMParams", "FlowParams", "DistParams", "DIRS_8", "DIRS_16",
-    "INVALID", "load_preset", "stereo_sgm", "flow_fsgm", "flow_sequence",
+    "INVALID", "load_preset", "stereo_sgm", "stereo_sgm_batch",
+    "flow_fsgm", "flow_sequence",
 ]
 
 
@@ -31,6 +32,9 @@ def __getattr__(name):
     if name == "stereo_sgm":
         from fsgm_tpu.models.stereo import stereo_sgm
         return stereo_sgm
+    if name == "stereo_sgm_batch":
+        from fsgm_tpu.models.stereo import stereo_sgm_batch
+        return stereo_sgm_batch
     if name == "flow_fsgm":
         from fsgm_tpu.models.flow import flow_fsgm
         return flow_fsgm
