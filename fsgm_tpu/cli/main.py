@@ -335,20 +335,53 @@ def cmd_batch(args) -> int:
     todo = manifest.pending([out for _, _, out in pairs])
     be = _backend(args.backend)
     done_now = 0
-    for left, right, out in pairs:
-        if out not in todo:
+    queue = [(lt, rt, out) for lt, rt, out in pairs if out in todo]
+    bsz = max(1, getattr(args, "dispatch_batch", 1))
+    carry = None          # loaded-but-mismatched pair held for next group
+    i = 0
+    while i < len(queue) or carry is not None:
+        # group up to --dispatch-batch same-shape pairs into ONE device
+        # dispatch (stereo_sgm_batch): amortizes the per-dispatch floor
+        # and lane-folds small frames; per-frame results are bit-identical
+        # to single dispatches (tests/unit/test_batch_fold.py)
+        group, shape = [], None
+        if carry is not None:
+            group.append(carry)
+            shape = carry[0].shape
+            carry = None
+        while i < len(queue) and len(group) < bsz:
+            left, right, out = queue[i]
+            il, ir = load_gray(left), load_gray(right)
+            i += 1
+            if shape is None:
+                shape = il.shape
+            elif il.shape != shape:
+                carry = (il, ir, out)
+                break
+            group.append((il, ir, out))
+        if not group:
             continue
         t0 = time.perf_counter()
-        disp = np.asarray(stereo_sgm(jnp.asarray(load_gray(left)),
-                                     jnp.asarray(load_gray(right)), p, be))
-        kitti.write_disparity_png(out, disp)
-        manifest.mark_done(out, out, wall_s=round(time.perf_counter() - t0, 4),
-                           valid_frac=round(float((disp >= 0).mean()), 4))
-        done_now += 1
-        if args.fault_inject and done_now >= args.fault_inject:
-            print(json.dumps({"cmd": "batch", "fault_injected": True,
-                              "done": done_now}), flush=True)
-            os._exit(17)
+        if len(group) == 1:
+            il, ir, _ = group[0]
+            disps = np.asarray(stereo_sgm(jnp.asarray(il), jnp.asarray(ir),
+                                          p, be))[None]
+        else:
+            from fsgm_tpu.models.stereo import stereo_sgm_batch
+            disps = np.asarray(stereo_sgm_batch(
+                jnp.asarray(np.stack([g[0] for g in group])),
+                jnp.asarray(np.stack([g[1] for g in group])), p, be))
+        per_frame = round((time.perf_counter() - t0) / len(group), 4)
+        for (_, _, out), disp in zip(group, disps):
+            kitti.write_disparity_png(out, disp)
+            manifest.mark_done(out, out, wall_s=per_frame,
+                               valid_frac=round(float((disp >= 0).mean()),
+                                                4))
+            done_now += 1
+            if args.fault_inject and done_now >= args.fault_inject:
+                print(json.dumps({"cmd": "batch", "fault_injected": True,
+                                  "done": done_now}), flush=True)
+                os._exit(17)
     print(json.dumps({"cmd": "batch", "total": len(pairs),
                       "newly_done": done_now,
                       "skipped": len(pairs) - len(todo)}))
@@ -600,6 +633,11 @@ def main(argv=None) -> int:
     tp.add_argument("--manifest", required=True)
     tp.add_argument("--fault-inject", dest="fault_inject", type=int,
                     default=0, help="die after N frames (recovery test)")
+    tp.add_argument("--dispatch-batch", dest="dispatch_batch", type=int,
+                    default=1,
+                    help="same-shape pairs per device dispatch (batched "
+                         "stereo_sgm_batch path; amortizes the dispatch "
+                         "floor — use 8-16 on TPU)")
     _add_stereo_args(tp)
     tp.set_defaults(fn=cmd_batch)
 

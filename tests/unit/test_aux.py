@@ -244,3 +244,43 @@ def test_presets_load():
             if isinstance(v, (SGMParams, FlowParams)):
                 kinds.add(type(v).__name__)
     assert kinds == {"SGMParams", "FlowParams"}
+
+
+def test_batch_dispatch_batching_matches(tmp_path):
+    """--dispatch-batch groups same-shape pairs into one batched dispatch;
+    outputs must be identical to the single-dispatch run, including across
+    a shape change mid-list (the carry path)."""
+    from fsgm_tpu.io.synthetic import random_dot_stereo
+    from fsgm_tpu.io.images import save_gray
+    from fsgm_tpu.io import kitti
+    repo = Path(__file__).resolve().parents[2]
+    shapes = [(24, 32), (24, 32), (16, 40), (24, 32), (24, 32)]
+    lines = []
+    for i, (h, w) in enumerate(shapes):
+        il, ir, _ = random_dot_stereo(h, w, 8, seed=i)
+        l, r = tmp_path / f"l{i}.png", tmp_path / f"r{i}.png"
+        save_gray(l, il), save_gray(r, ir)
+        lines.append(f"{l} {r} {tmp_path}/OUT/d{i}.png")
+    lst = tmp_path / "list.txt"
+    env = dict(os.environ, PYTHONPATH=str(repo), JAX_PLATFORMS="cpu")
+    pre = ("import jax; jax.config.update('jax_platforms','cpu');"
+           "from fsgm_tpu.cli.main import main; import sys;"
+           "sys.exit(main(sys.argv[1:]))")
+    for variant, extra in (("single", []), ("batched",
+                                            ["--dispatch-batch", "3"])):
+        out = tmp_path / ("OUT" if variant == "single" else "OUTB")
+        out.mkdir()
+        lst.write_text("\n".join(
+            ln.replace("/OUT/", f"/{out.name}/") for ln in lines))
+        cmd = [sys.executable, "-c", pre, "batch", str(lst),
+               "--manifest", str(tmp_path / f"m_{variant}.jsonl"),
+               "--max-disp", "8", "--backend", "xla"] + extra
+        r = subprocess.run(cmd, env=env, cwd=repo, capture_output=True,
+                           text=True)
+        assert r.returncode == 0, r.stderr[-2000:]
+        rec = json.loads(r.stdout.strip().splitlines()[-1])
+        assert rec["newly_done"] == len(shapes)
+    for i in range(len(shapes)):
+        a = kitti.read_disparity_png(tmp_path / "OUT" / f"d{i}.png")
+        b = kitti.read_disparity_png(tmp_path / "OUTB" / f"d{i}.png")
+        np.testing.assert_array_equal(a, b)
