@@ -37,6 +37,24 @@ def main() -> None:
         assert np.allclose(d_tpu[both], gold_d[both], atol=1e-3)
         print(f"stereo {num_paths}-path adaptive={adaptive}: exact")
 
+    # batched lane-fold on real Mosaic: the single-frame checks above
+    # never run the folded shapes (64-high frames fold to 3x64 lanes)
+    from fsgm_tpu.models.stereo import stereo_sgm_batch
+    ls, rs = [], []
+    for s in range(3):
+        a, b, _ = random_dot_stereo(64, 136, 32, seed=30 + s)
+        ls.append(a)
+        rs.append(b)
+    p8 = SGMParams(max_disp=32, p1=7, p2=80)
+    got = np.asarray(stereo_sgm_batch(jnp.asarray(np.stack(ls)),
+                                      jnp.asarray(np.stack(rs)),
+                                      p8, "pallas"))
+    want = np.stack([np.asarray(stereo_sgm(jnp.asarray(a), jnp.asarray(b),
+                                           p8, "pallas"))
+                     for a, b in zip(ls, rs)])
+    assert np.array_equal(got, want), "batched lane-fold mismatch"
+    print("stereo batched lane-fold: exact")
+
     i1, i2, _ = constant_flow_pair(48, 64, 2, -1, seed=6)
     fp = FlowParams(search_radius=3, levels=2, p1=7, p2=60)
     f_tpu, v_tpu = flow_fsgm(jnp.asarray(i1), jnp.asarray(i2), fp, "pallas")
