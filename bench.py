@@ -209,7 +209,6 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
     from fsgm_tpu.params import SGMParams, FlowParams
-    from fsgm_tpu.models.stereo import stereo_sgm
     from fsgm_tpu.models.flow import flow_fsgm
     from fsgm_tpu.io.synthetic import random_dot_stereo, constant_flow_pair
 

@@ -33,7 +33,6 @@ tests/unit/test_pallas_parity.py.
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Callable, Sequence, Tuple
 

@@ -20,7 +20,6 @@ subpixel parabola, LR-check, and median stay in XLA on (H, W) fields.
 
 from __future__ import annotations
 
-import functools
 import os
 
 import jax
