@@ -225,7 +225,7 @@ def cmd_serve(args) -> int:
         try:
             req = json.loads(line)
             rid = req.get("id", served)
-            out = Path(req["out"])
+            out = Path(req["out"]) if "out" in req else None
             t0 = time.perf_counter()
             if req["task"] == "stereo":
                 il = load_gray(req["left"])
@@ -235,6 +235,28 @@ def cmd_serve(args) -> int:
                 kitti.write_disparity_png(out, disp)
                 resp = {"id": rid, "out": str(out),
                         "density": round(float((disp >= 0).mean()), 4)}
+            elif req["task"] == "stereo_batch":
+                # {"task": "stereo_batch", "pairs": [[l, r, out], ...]}:
+                # same-shape pairs run as ONE batched device dispatch
+                # (stereo_sgm_batch — bit-identical to single requests);
+                # "out" above is unused for this task
+                from fsgm_tpu.models.stereo import stereo_sgm_batch
+                pairs = [(load_gray(lt), load_gray(rt), o)
+                         for lt, rt, o in req["pairs"]]
+                shapes = {p[0].shape for p in pairs}
+                if len(shapes) != 1:
+                    raise ValueError(
+                        f"stereo_batch needs same-shape pairs, got "
+                        f"{sorted(shapes)}")
+                disps = np.asarray(stereo_sgm_batch(
+                    jnp.asarray(np.stack([p[0] for p in pairs])),
+                    jnp.asarray(np.stack([p[1] for p in pairs])), sp, be))
+                outs, dens = [], []
+                for (_, _, o), dsp in zip(pairs, disps):
+                    kitti.write_disparity_png(Path(o), dsp)
+                    outs.append(str(o))
+                    dens.append(round(float((dsp >= 0).mean()), 4))
+                resp = {"id": rid, "outs": outs, "density": dens}
             else:
                 i1 = load_gray(req["first"])
                 i2 = load_gray(req["second"])

@@ -133,6 +133,11 @@ def test_cli_serve_loop(tmp_path):
         {"task": "flow", "id": "f0", "first": str(tmp_path / "a.png"),
          "second": str(tmp_path / "b.png"),
          "out": str(tmp_path / "f.png")},
+        {"task": "stereo_batch", "id": "sb",
+         "pairs": [[str(tmp_path / "l.png"), str(tmp_path / "r.png"),
+                    str(tmp_path / "db0.png")],
+                   [str(tmp_path / "l.png"), str(tmp_path / "r.png"),
+                    str(tmp_path / "db1.png")]]},
     ]
     env = dict(os.environ, PYTHONPATH=str(repo), JAX_PLATFORMS="cpu")
     pre = ("import jax; jax.config.update('jax_platforms','cpu');"
@@ -146,14 +151,23 @@ def test_cli_serve_loop(tmp_path):
                        capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, r.stderr[-2000:]
     recs = [json.loads(ln) for ln in r.stdout.strip().splitlines()]
-    assert recs[0]["serving"] and recs[-1]["served"] == 4
+    assert recs[0]["serving"] and recs[-1]["served"] == 5
     body = recs[1:-1]
     # the malformed line must get its OWN error record (id = its stream
     # index, never the previous request's id)
-    assert [x["id"] for x in body] == ["s0", "bad", 2, "f0"]
+    assert [x["id"] for x in body] == ["s0", "bad", 2, "f0", "sb"]
     assert "error" in body[1] and "error" in body[2]
     assert "out" in body[0] and "out" in body[3]
     assert (tmp_path / "d.png").exists() and (tmp_path / "f.png").exists()
+    # the batched request writes every pair, bit-identical to the single
+    # stereo request over the same inputs
+    assert body[4]["outs"] == [str(tmp_path / "db0.png"),
+                               str(tmp_path / "db1.png")]
+    from fsgm_tpu.io import kitti as _k
+    single = _k.read_disparity_png(tmp_path / "d.png")
+    for nm in ("db0.png", "db1.png"):
+        np.testing.assert_array_equal(
+            _k.read_disparity_png(tmp_path / nm), single)
 
 
 def test_densify_flow():
