@@ -143,6 +143,18 @@ def _stage_roofline(params, h, w, d, backend, iters=32) -> None:
                             params.max_disp)
         return ext.median_filter_3x3(disp)
 
+    def extract_stage_major(s_m):
+        # the ACTUAL pallas_tr extraction path (fused kernel on label-
+        # major S; models/stereo.py::extract_disparity_kernel)
+        from fsgm_tpu.ops.pallas import extract_tr
+        d_int, s_mn, s_0, s_p, d_r = extract_tr.extract_stereo_major(
+            s_m, params.s_invalid)
+        disp = ext.subpixel_from_neighborhood(d_int, s_mn, s_0, s_p,
+                                              s_m.shape[1])
+        disp = ext.lr_check(disp, d_r, params.lr_max_diff,
+                            params.max_disp)
+        return ext.median_filter_3x3(disp)
+
     cost0 = cost_of(il, ir)
     s0 = agg_family(cost0, il, "down").astype(s_dtype)[:, :w]
 
@@ -176,6 +188,11 @@ def _stage_roofline(params, h, w, d, backend, iters=32) -> None:
             extract_stage(s_v + s8.astype(s_dtype)))),
             (s0,), model["extract"]),
     }
+    if backend == "pallas_tr":
+        s0m = jnp.transpose(s0, (0, 2, 1))
+        stages["extract"] = (loop(lambda s8, s_m: jnp.sum(
+            extract_stage_major(s_m + s8.astype(s_dtype)))),
+            (s0m,), model["extract"])
 
     timer = StageTimer()
     for name, (run, args, nbytes) in stages.items():
