@@ -217,7 +217,8 @@ def fb_check(flow_fwd: jnp.ndarray, flow_bwd: jnp.ndarray, max_diff: float
 # --------------------------------------------------------------------------
 
 def _level_s(img1, cen1, cen2, base_u, base_v, params: FlowParams,
-             backend: str, is_coarsest: bool, major: bool = False):
+             backend: str, is_coarsest: bool, major: bool = False,
+             block_warp: bool = False):
     """Cost volume + 8-path 2D-label aggregation for one level: the batched
     core shared by the single-direction driver and the fwd/bwd lockstep
     pair (vmapping it folds both directions into one kernel-launch set).
@@ -237,7 +238,7 @@ def _level_s(img1, cen1, cen2, base_u, base_v, params: FlowParams,
         cost_m = cost_volume_flow_major(
             cen1, cen2, base_u, base_v, params.search_radius,
             params.invalid_cost, identity_base=is_coarsest,
-            nd_pad=-(-nd // 8) * 8)
+            nd_pad=-(-nd // 8) * 8, block_warp=block_warp)
         s_max = 8 * (params.invalid_cost + params.p2)
         s = aggregate_tr.aggregate_paths_tr(
             cost_m, img1, DIRS_8, params.p1, params.p2, params.adaptive_p2,
@@ -255,7 +256,7 @@ def _level_s(img1, cen1, cen2, base_u, base_v, params: FlowParams,
         cost_m = cost_volume_flow_major(
             cen1, cen2, base_u, base_v, params.search_radius,
             params.invalid_cost, identity_base=is_coarsest,
-            nd_pad=transpose_pallas.T)
+            nd_pad=transpose_pallas.T, block_warp=block_warp)
         cost = transpose_pallas.label_minor_from_major(cost_m)
         wp = cost.shape[1]
         img_p = img1 if wp == img1.shape[1] else jnp.pad(
@@ -268,7 +269,8 @@ def _level_s(img1, cen1, cen2, base_u, base_v, params: FlowParams,
     else:
         cost = cost_volume_flow(cen1, cen2, base_u, base_v,
                                 params.search_radius, params.invalid_cost,
-                                identity_base=is_coarsest)
+                                identity_base=is_coarsest,
+                                block_warp=block_warp)
         nm = agg.make_neighbor_min_2d(params.search_radius)
         s = agg.aggregate_paths(cost, img1, DIRS_8, params.p1, params.p2,
                                 params.adaptive_p2, neighbor_min=nm)
@@ -297,7 +299,8 @@ def _level_extract(s, base_u, base_v, params: FlowParams,
 
 def _flow_one_level(img1, img2, prior_flow, params: FlowParams,
                     backend: str, is_coarsest: bool = False,
-                    cen1=None, cen2=None, major: bool = False):
+                    cen1=None, cen2=None, major: bool = False,
+                    block_warp: bool = False):
     base_u = jnp.rint(prior_flow[..., 0]).astype(jnp.int32)
     base_v = jnp.rint(prior_flow[..., 1]).astype(jnp.int32)
     if cen1 is None:
@@ -305,13 +308,14 @@ def _flow_one_level(img1, img2, prior_flow, params: FlowParams,
     if cen2 is None:
         cen2 = census_transform(img2, params.census_window)
     s = _level_s(img1, cen1, cen2, base_u, base_v, params, backend,
-                 is_coarsest, major)
+                 is_coarsest, major, block_warp)
     return _level_extract(s, base_u, base_v, params, major)
 
 
 def _flow_level_pair(i1, i2, c1, c2, prior_f, prior_b,
                      params: FlowParams, bwd_params: FlowParams,
-                     backend: str, is_coarsest: bool, major: bool = False):
+                     backend: str, is_coarsest: bool, major: bool = False,
+                     block_warp: bool = False):
     """One pyramid level of the forward AND backward passes as a single
     batch-2 vmap: the per-launch fixed cost of the cost-build / transpose /
     sweep kernels dominates the coarse levels (measured ~4 ms/level at
@@ -331,7 +335,7 @@ def _flow_level_pair(i1, i2, c1, c2, prior_f, prior_b,
     bv = jnp.stack([bv_f, bv_b])
     s2 = jax.vmap(
         lambda g, ca, cb, u, v: _level_s(g, ca, cb, u, v, params, backend,
-                                         is_coarsest, major))(
+                                         is_coarsest, major, block_warp))(
         guide, cen_a, cen_b, bu, bv)
     if bwd_params == params:
         # identical extraction both ways (full/half modes): batch it too
@@ -358,13 +362,17 @@ def _fsgm_flow_oneway(pyr1, pyr2, cens1, cens2, params: FlowParams,
             if init_flow is None else init_flow)
     for lvl in range(params.levels - 1, -1, -1):
         i1, i2 = pyr1[lvl], pyr2[lvl]
-        if lvl < params.levels - 1:
+        below_top = lvl < params.levels - 1
+        if below_top:
             flow = upsample_flow_2x(flow, i1.shape[0], i1.shape[1])
         is_c = lvl == params.levels - 1 and init_flow is None
+        # below the top the prior is rint(upsample_flow_2x(...)) —
+        # 2x2-block-constant, so the warp can use the blocked patch
+        # gather (cost.warp_census_blocked, 4x fewer indices, exact)
         flow = _flow_one_level(i1, i2, flow, params, backend,
                                is_coarsest=is_c,
                                cen1=cens1[lvl], cen2=cens2[lvl],
-                               major=major)
+                               major=major, block_warp=below_top)
     return flow
 
 
@@ -397,7 +405,8 @@ def _fsgm_flow_both(pyr1, pyr2, cens1, cens2, params: FlowParams,
         flow_f, flow_b = init_flow, -init_flow
     for lvl in range(params.levels - 1, -1, -1):
         i1, i2 = pyr1[lvl], pyr2[lvl]
-        if lvl < params.levels - 1:
+        below_top = lvl < params.levels - 1
+        if below_top:
             flow_f = upsample_flow_2x(flow_f, i1.shape[0], i1.shape[1])
             if lvl >= bwd_stop:
                 flow_b = upsample_flow_2x(flow_b, i1.shape[0], i1.shape[1])
@@ -406,12 +415,12 @@ def _fsgm_flow_both(pyr1, pyr2, cens1, cens2, params: FlowParams,
             bp = bwd_final_params if lvl == bwd_stop else params
             flow_f, flow_b = _flow_level_pair(
                 i1, i2, cens1[lvl], cens2[lvl], flow_f, flow_b,
-                params, bp, backend, is_c, major)
+                params, bp, backend, is_c, major, block_warp=below_top)
         else:
             flow_f = _flow_one_level(i1, i2, flow_f, params, backend,
                                      is_coarsest=is_c,
                                      cen1=cens1[lvl], cen2=cens2[lvl],
-                                     major=major)
+                                     major=major, block_warp=below_top)
     return flow_f, flow_b
 
 

@@ -142,11 +142,54 @@ def cost_volume_stereo_major_cols(cen_l: jnp.ndarray, cen_r: jnp.ndarray,
     return jnp.stack(planes, axis=1)
 
 
+def warp_census_blocked(cen2: jnp.ndarray, base_u: jnp.ndarray,
+                        base_v: jnp.ndarray) -> jnp.ndarray:
+    """cen2w[y, x] = cen2[y + base_v[y, x], x + base_u[y, x]] for base
+    fields that are CONSTANT over 2x2 pixel blocks aligned at even
+    coordinates — exactly what rint(upsample_flow_2x(coarser)) produces
+    (the 2x nearest upsample repeats each coarse value over a 2x2 block;
+    the odd-edge extension repeats the last row/col, which is still
+    block-constant for the 1-wide edge blocks).
+
+    TPU gathers are INDEX-count-bound with payload width ~free
+    (tools/warpprobe.py: f32x2 rows gather FASTER per index than bare
+    u32), so gathering ONE 2x2 patch per block instead of one word per
+    pixel quarters the warp cost — measured 116 ms of the 616 ms 4K-flow
+    frame in the per-pixel form.
+
+    Out-of-range positions return arbitrary (pad/clipped) values exactly
+    like the clipped per-pixel gather; callers mask with the same
+    in-range predicate either way, so masked planes are bit-identical.
+    """
+    h, w = base_u.shape
+    h2, w2 = cen2.shape[:2]
+    hb, wb = -(-h // 2), -(-w // 2)
+    tail = cen2.shape[2:]
+    # patch starts live in [-1, h2] x [-1, w2]: +1 shift indexes a
+    # 1-top/left, 2-bottom/right padded copy so both patch rows/cols of
+    # any clipped start are in bounds (values under the pad are masked by
+    # the caller's ok predicate)
+    p = jnp.pad(cen2, ((1, 2), (1, 2)) + ((0, 0),) * (cen2.ndim - 2))
+    views = [p[dy:dy + h2 + 2, dx:dx + w2 + 2]
+             for dy in (0, 1) for dx in (0, 1)]
+    tbl = jnp.stack([v.reshape(((h2 + 2) * (w2 + 2),) + tail)
+                     for v in views], axis=1)        # (N, 4) + tail
+    yy = 2 * jnp.arange(hb, dtype=jnp.int32)[:, None]
+    xx = 2 * jnp.arange(wb, dtype=jnp.int32)[None, :]
+    sy = jnp.clip(yy + base_v[0::2, 0::2], -1, h2) + 1
+    sx = jnp.clip(xx + base_u[0::2, 0::2], -1, w2) + 1
+    g = jnp.take(tbl, sy * (w2 + 2) + sx, axis=0)    # (hb, wb, 4) + tail
+    g = g.reshape((hb, wb, 2, 2) + tail)
+    g = jnp.transpose(g, (0, 2, 1, 3) + tuple(range(4, g.ndim)))
+    return g.reshape((2 * hb, 2 * wb) + tail)[:h, :w]
+
+
 def _flow_cost_planes(cen1: jnp.ndarray, cen2: jnp.ndarray,
                       base_u: jnp.ndarray, base_v: jnp.ndarray,
                       radius: int, invalid_cost: int,
                       y_offset: int | jnp.ndarray,
-                      identity_base: bool) -> list[jnp.ndarray]:
+                      identity_base: bool,
+                      block_warp: bool = False) -> list[jnp.ndarray]:
     """The (2w+1)^2 shifted-hamming planes shared by both flow builders
     (label-minor and label-major); label order l = (dv+w)*(2w+1)+(du+w)."""
     h, w = cen1.shape[:2]
@@ -174,12 +217,20 @@ def _flow_cost_planes(cen1: jnp.ndarray, cen2: jnp.ndarray,
     else:
         ok_w = (sy >= 0) & (sy < h2) & (sx >= 0) & (sx < w) & \
             (yy >= 0) & (yy < h2)
-        # flattened linear-index take: measurably faster than the 2D
-        # advanced-index lowering for (H, W) field gathers on TPU
-        # (tools/fbbench.py: 4.2 vs 5.8 ms at KITTI size); same values
-        idx = (jnp.clip(sy, 0, h2 - 1) * w + jnp.clip(sx, 0, w - 1))
-        cen2w = jnp.take(cen2.reshape((h2 * w,) + cen2.shape[2:]), idx,
-                         axis=0)
+        import os
+        if block_warp and halo == 0 and hb == h and \
+                isinstance(y_offset, int) and y_offset == 0 and \
+                os.environ.get("FSGM_BLOCK_WARP", "1") != "0":
+            # prior came from a 2x nearest upsample: one patch gather per
+            # 2x2 block (4x fewer indices, bit-identical masked planes)
+            cen2w = warp_census_blocked(cen2, base_u, base_v)
+        else:
+            # flattened linear-index take: measurably faster than the 2D
+            # advanced-index lowering for (H, W) field gathers on TPU
+            # (tools/fbbench.py: 4.2 vs 5.8 ms at KITTI size); same values
+            idx = (jnp.clip(sy, 0, h2 - 1) * w + jnp.clip(sx, 0, w - 1))
+            cen2w = jnp.take(cen2.reshape((h2 * w,) + cen2.shape[2:]),
+                             idx, axis=0)
     if halo < radius:                # extend with invalid rows
         e = radius - halo
         zrow = jnp.zeros((e,) + cen2w.shape[1:], cen2w.dtype)
@@ -219,7 +270,8 @@ def cost_volume_flow(cen1: jnp.ndarray, cen2: jnp.ndarray,
                      base_u: jnp.ndarray, base_v: jnp.ndarray,
                      radius: int, invalid_cost: int = 255,
                      y_offset: int | jnp.ndarray = 0,
-                     identity_base: bool = False) -> jnp.ndarray:
+                     identity_base: bool = False,
+                     block_warp: bool = False) -> jnp.ndarray:
     """(H, W, (2w+1)^2) uint8 flow cost volume, warp-then-shift form.
 
     Exactly mirrors golden/flow.py::cost_volume_flow: the second image's
@@ -243,7 +295,7 @@ def cost_volume_flow(cen1: jnp.ndarray, cen2: jnp.ndarray,
     """
     return jnp.stack(
         _flow_cost_planes(cen1, cen2, base_u, base_v, radius, invalid_cost,
-                          y_offset, identity_base), axis=-1)
+                          y_offset, identity_base, block_warp), axis=-1)
 
 
 def cost_volume_flow_major(cen1: jnp.ndarray, cen2: jnp.ndarray,
@@ -251,7 +303,8 @@ def cost_volume_flow_major(cen1: jnp.ndarray, cen2: jnp.ndarray,
                            radius: int, invalid_cost: int = 255,
                            y_offset: int | jnp.ndarray = 0,
                            identity_base: bool = False,
-                           nd_pad: int | None = None) -> jnp.ndarray:
+                           nd_pad: int | None = None,
+                           block_warp: bool = False) -> jnp.ndarray:
     """(H, nd_pad, W) uint8 label-MAJOR flow cost volume.
 
     Same values as cost_volume_flow (label l lives at [:, l, :]); the
@@ -262,7 +315,8 @@ def cost_volume_flow_major(cen1: jnp.ndarray, cen2: jnp.ndarray,
     the Pallas path (pair with transpose_pallas.label_minor_from_major).
     """
     planes = _flow_cost_planes(cen1, cen2, base_u, base_v, radius,
-                               invalid_cost, y_offset, identity_base)
+                               invalid_cost, y_offset, identity_base,
+                               block_warp)
     if nd_pad is not None and nd_pad > len(planes):
         h, w = cen1.shape[:2]
         pad = jnp.full((h, w), invalid_cost, jnp.uint8)

@@ -239,3 +239,30 @@ def test_flow_fb_grid_half_parity(pair, backend, mode):
     h2, w2 = valid.shape[0] // 2 * 2, valid.shape[1] // 2 * 2
     blocks = valid[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2)
     assert bool(np.all(blocks == blocks[:, :1, :, :1]))
+
+
+def test_warp_census_blocked_matches_general():
+    """warp_census_blocked == the per-pixel clipped gather at every
+    in-range position, for 2x2-block-constant bases (incl. odd dims and
+    multi-word census tails), with out-of-range positions masked by the
+    same ok predicate both ways."""
+    import numpy as np
+    import jax.numpy as jnp
+    from fsgm_tpu.ops.cost import warp_census_blocked
+
+    rng = np.random.default_rng(11)
+    for h, w, tail in ((20, 30, ()), (21, 31, ()), (19, 26, (2,))):
+        cen2 = rng.integers(0, 1 << 31, (h, w) + tail, dtype=np.int64) \
+            .astype(np.uint32)
+        hb, wb = -(-h // 2), -(-w // 2)
+        bu_c = rng.integers(-9, 9, (hb, wb), dtype=np.int64)
+        bv_c = rng.integers(-9, 9, (hb, wb), dtype=np.int64)
+        bu = np.repeat(np.repeat(bu_c, 2, 0), 2, 1)[:h, :w].astype(np.int32)
+        bv = np.repeat(np.repeat(bv_c, 2, 0), 2, 1)[:h, :w].astype(np.int32)
+        got = np.asarray(warp_census_blocked(
+            jnp.asarray(cen2), jnp.asarray(bu), jnp.asarray(bv)))
+        yy = np.arange(h)[:, None] + bv
+        xx = np.arange(w)[None, :] + bu
+        ok = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+        want = cen2[np.clip(yy, 0, h - 1), np.clip(xx, 0, w - 1)]
+        np.testing.assert_array_equal(got[ok], want[ok])
