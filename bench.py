@@ -15,6 +15,14 @@ Env knobs:
   FSGM_BENCH_STAGES  1 -> per-stage roofline table on stderr (JSONL:
                      wall, modeled HBM bytes, achieved GB/s, % of peak;
                      SURVEY.md §5 "roofline reporting"); stereo cfgs only
+  FSGM_BENCH_GUARD   1 -> exit non-zero if ms/frame regresses past the
+                     per-config tolerance vs bench_history.json
+  FSGM_BENCH_TRACE   dir -> capture a jax.profiler trace of one timed
+                     dispatch into <dir> (XProf/Perfetto; SURVEY.md §5)
+
+Params for each config are loaded from the committed preset file in
+configs/ (bench_params) — presets and bench cannot drift
+(tests/unit/test_presets.py).
 
 Measurement notes (axon relay): every timed call is salted so no two
 executions are identical (the relay memoizes), and sync is a scalar
@@ -37,18 +45,71 @@ BASELINE_MPDS = 1650.0     # embedded-GPU SGM anchor (best prior art per chip)
 SOL_MPDS = 16000.0         # derived HBM speed-of-light, SURVEY.md §7.4
 
 CONFIGS = {
-    # name: (H, W, D_or_labels, batch, metric_name)
-    "kitti":   (375, 1242, 128, 16, "kitti_stereo_sgm_throughput"),
-    "tsukuba": (288, 384, 64, 16, "tsukuba_stereo_sgm_throughput"),
-    "kitti16": (375, 1242, 128, 8, "kitti_16path_adaptive_throughput"),
-    "4k":      (2160, 3840, 128, 1, "uhd_stereo_sgm_throughput"),
+    # name: (H, W, D_or_labels, batch, metric_name, preset_file)
+    "kitti":   (375, 1242, 128, 16, "kitti_stereo_sgm_throughput",
+                "kitti_stereo.json"),
+    "tsukuba": (288, 384, 64, 16, "tsukuba_stereo_sgm_throughput",
+                "tsukuba.json"),
+    "kitti16": (375, 1242, 128, 8, "kitti_16path_adaptive_throughput",
+                "kitti_16path.json"),
+    "4k":      (2160, 3840, 128, 1, "uhd_stereo_sgm_throughput",
+                "tiled_4k.json"),
     # flow batch 8: amortizes the ~29 ms relay dispatch floor to ~3.6 ms/
     # frame (batch 2 left ~14.5 ms/frame of pure dispatch in the metric)
-    "flow":    (368, 1232, 81, 8, "kitti_flow_fsgm_throughput"),
+    "flow":    (368, 1232, 81, 8, "kitti_flow_fsgm_throughput",
+                "kitti_flow.json"),
     # BASELINE config 5 names "4K stereo / flow": the flow leg, 5 levels
     # (coarsest 135x240), single frame per dispatch
-    "4kflow":  (2160, 3840, 81, 1, "uhd_flow_fsgm_throughput"),
+    "4kflow":  (2160, 3840, 81, 1, "uhd_flow_fsgm_throughput",
+                "kitti_flow.json"),
 }
+
+_CONFIG_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "configs")
+
+
+def bench_params(cfg: str):
+    """The exact params object benchmarked for `cfg`, constructed FROM the
+    committed preset file (configs/*.json) so presets and bench can never
+    drift (tests/unit/test_presets.py pins this).  The only difference
+    applied on top of a preset is documented here: the 4K flow leg runs
+    one extra pyramid level (coarsest 135x240 instead of 270x480 — the 4K
+    frame needs it for the same relative search range)."""
+    import dataclasses
+    from fsgm_tpu.params import load_preset
+    preset = load_preset(os.path.join(_CONFIG_DIR, CONFIGS[cfg][5]))
+    if cfg in ("flow", "4kflow"):
+        p = preset["flow"]
+        if cfg == "4kflow":
+            p = dataclasses.replace(p, levels=5)
+        fb = os.environ.get("FSGM_BENCH_FB")
+        fbg = os.environ.get("FSGM_BENCH_FBGRID")
+        if fb or fbg:
+            p = dataclasses.replace(
+                p, fb_backward=fb or p.fb_backward,
+                fb_grid=fbg or p.fb_grid)
+        return p
+    return preset["sgm"]
+
+
+def flow_label_pixels(h: int, w: int, fp) -> int:
+    """Actually-aggregated label-pixels per frame — the honest flow-Mpd/s
+    numerator (round-3 verdict: the old `labels * 2 * H*W` counted the
+    backward pass as a full-res pyramid while fb_backward='half' runs it
+    at half resolution, and UNDER-counted the forward pyramid's coarse
+    levels).  Sums H_l*W_l over every pyramid level each direction really
+    aggregates, times the label count."""
+    dims = [(h, w)]
+    for _ in range(fp.levels - 1):
+        dims.append((dims[-1][0] // 2, dims[-1][1] // 2))
+    fwd = sum(hh * ww for hh, ww in dims)
+    if fp.fb_backward == "half":
+        bwd = sum(hh * ww for hh, ww in dims[1:])
+    elif fp.fb_backward == "single":
+        bwd = h * w
+    else:                       # 'full' / 'cheap' aggregate every level
+        bwd = fwd
+    return (fwd + bwd) * fp.num_labels
 
 
 def _timed(run, args, batch, repeats, salt_dtype):
@@ -206,6 +267,40 @@ def _stage_roofline(params, h, w, d, backend, iters=32) -> None:
     timer.print_report(file=sys.stderr)
 
 
+def _regression_guard(cfg: str, mpds: float, dt_s: float) -> None:
+    """Throughput regression guard (SURVEY.md §4 metrics tier: "benchmark
+    harness asserts Mpixel*disp/s within tolerance of recorded baseline").
+
+    Compares ms/frame against the best recorded number for this config in
+    bench_history.json (ms/frame, not Mpd/s, so metric redefinitions like
+    the round-4 honest flow numerator don't invalidate history).  Always
+    prints the verdict to stderr; exits non-zero on regression only when
+    FSGM_BENCH_GUARD=1 so a relay hiccup can't fail the driver's record
+    run.  One command catches a deliberate slowdown:
+        FSGM_BENCH_GUARD=1 FSGM_BENCH_CONFIG=<cfg> python bench.py
+    Tolerances are per-config (documented in the JSON): ±10% relay band
+    for the big configs, wider for dispatch-floor-bound small ones."""
+    hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_history.json")
+    try:
+        with open(hist_path) as f:
+            hist = json.load(f)
+        entry = hist["configs"][cfg]
+    except (OSError, KeyError):
+        print(f"# guard: no recorded baseline for cfg={cfg}",
+              file=sys.stderr)
+        return
+    best_ms, tol = entry["best_ms_frame"], entry["tolerance"]
+    cur_ms = dt_s * 1e3
+    limit = best_ms * (1 + tol)
+    verdict = "OK" if cur_ms <= limit else "REGRESSION"
+    print(f"# guard: {verdict} cfg={cfg} {cur_ms:.2f} ms/frame vs best "
+          f"{best_ms:.2f} (+{tol:.0%} tolerance = {limit:.2f})",
+          file=sys.stderr)
+    if verdict == "REGRESSION" and os.environ.get("FSGM_BENCH_GUARD") == "1":
+        sys.exit(3)
+
+
 def _wait_for_backend(jax, retries: int, delay_s: float) -> None:
     """Ride out transient relay outages ("Unable to initialize backend
     'axon': UNAVAILABLE", observed 2026-08-17): retry device discovery
@@ -225,7 +320,6 @@ def _wait_for_backend(jax, retries: int, delay_s: float) -> None:
 def main() -> None:
     import jax
     import jax.numpy as jnp
-    from fsgm_tpu.params import SGMParams, FlowParams
     from fsgm_tpu.models.flow import flow_fsgm
     from fsgm_tpu.io.synthetic import random_dot_stereo, constant_flow_pair
 
@@ -236,7 +330,7 @@ def main() -> None:
                       int(os.environ.get("FSGM_BENCH_INIT_RETRIES", "3")),
                       float(os.environ.get("FSGM_BENCH_INIT_DELAY", "60")))
     cfg = os.environ.get("FSGM_BENCH_CONFIG", "kitti")
-    h, w, d, batch_default, metric = CONFIGS[cfg]
+    h, w, d, batch_default, metric = CONFIGS[cfg][:5]
     batch = int(os.environ.get("FSGM_BENCH_BATCH", batch_default))
     backend = os.environ.get("FSGM_BENCH_BACKEND")
     if backend is None:
@@ -253,25 +347,15 @@ def main() -> None:
     repeats = 6
 
     if cfg in ("flow", "4kflow"):
-        # fb_backward="half": backward pyramid at half resolution, full
-        # extraction at every backward level.  Validity within ~5 points
-        # of the full backward on synthetic GT (tools/fb_accuracy.py) at
-        # a quarter of the backward aggregation work; the round-1 "cheap"
-        # (skip subpixel/median at EVERY backward level) lost ~40 points
-        # of validity and is no longer the bench default.
-        fparams = FlowParams(search_radius=4,
-                             levels=5 if cfg == "4kflow" else 4,
-                             p1=7, p2=100,
-                             fb_backward=os.environ.get("FSGM_BENCH_FB",
-                                                        "half"),
-                             # fb_grid='half' measured SLOWER at KITTI
-                             # size (28.7/29.5 vs 26.8 ms/frame, batch 8,
-                             # 2026-08-19) despite quartering the gather —
-                             # the flow-field downsample + broken fusion
-                             # eat the saving; accuracy-neutral knob kept
-                             # for study (tools/fb_accuracy.py)
-                             fb_grid=os.environ.get("FSGM_BENCH_FBGRID",
-                                                    "full"))
+        # Params come from configs/kitti_flow.json (fb_backward="half":
+        # backward pyramid at half resolution, full extraction at every
+        # backward level — validity within ~5 points of the full backward
+        # on synthetic GT, tools/fb_accuracy.py, at a quarter of the
+        # backward aggregation work).  fb_grid='half' measured SLOWER at
+        # KITTI size (28.7/29.5 vs 26.8 ms/frame, batch 8, 2026-08-19)
+        # despite quartering the gather; accuracy-neutral knob kept for
+        # study via FSGM_BENCH_FBGRID.
+        fparams = bench_params(cfg)
         pairs = [constant_flow_pair(h, w, 3, -2, seed=s)
                  for s in range(batch)]
         a = jnp.asarray(np.stack([p[0] for p in pairs]))
@@ -284,14 +368,12 @@ def main() -> None:
                                          backend))(x, y)
             return jnp.sum(flo) + jnp.sum(valid)
 
-        # label count per pixel at the finest level
-        d_eff = fparams.num_labels * 2  # fwd + bwd pass
+        # honest numerator: label-pixels actually aggregated per frame
+        # (sum over pyramid levels, fwd + the configured backward)
+        label_px = flow_label_pixels(h, w, fparams)
     else:
-        params = SGMParams(
-            max_disp=d, p1=7, p2=100,
-            num_paths=16 if cfg == "kitti16" else 8,
-            adaptive_p2=(cfg == "kitti16"),
-            subpixel=True, lr_check=True, median_filter=True)
+        params = bench_params(cfg)
+        assert params.max_disp == d, (cfg, params.max_disp, d)
         pairs = [random_dot_stereo(h, w, d, seed=s) for s in range(batch)]
         a = jnp.asarray(np.stack([p[0] for p in pairs]))
         b = jnp.asarray(np.stack([p[1] for p in pairs]))
@@ -305,11 +387,11 @@ def main() -> None:
             out = stereo_sgm_batch(x + salt, y + salt, params, backend)
             return jnp.sum(out)
 
-        d_eff = d
+        label_px = h * w * d
 
     dt, compile_s = _timed(run, (a, b), batch, repeats, jnp.uint8)
     fps = 1.0 / dt
-    mpds = h * w * d_eff * fps / 1e6
+    mpds = label_px * fps / 1e6
     rec = {"metric": metric, "value": round(mpds, 1),
            "unit": "Mpixel*disp/s",
            "vs_baseline": round(mpds / BASELINE_MPDS, 3)}
@@ -318,6 +400,22 @@ def main() -> None:
           f"platform={jax.devices()[0].platform} batch={batch} "
           f"frame={dt*1e3:.2f}ms fps={fps:.1f} compile={compile_s:.1f}s "
           f"vs_SoL={mpds / SOL_MPDS:.1%}", file=sys.stderr)
+    _regression_guard(cfg, mpds, dt)
+
+    trace_dir = os.environ.get("FSGM_BENCH_TRACE")
+    if trace_dir:
+        # One profiled dispatch of the exact timed computation (salted so
+        # the relay can't serve a memoized result).  Produces an XProf/
+        # Perfetto trace dir; failure modes are reported, not fatal —
+        # the relay-tunneled backend may not support device profiling.
+        from fsgm_tpu.utils.profiling import trace
+        try:
+            with trace(trace_dir):
+                float(run(a, b, jnp.uint8(77)))
+            print(f"# trace captured under {trace_dir}", file=sys.stderr)
+        except Exception as e:  # document the relay failure mode precisely
+            print(f"# trace FAILED: {type(e).__name__}: {e}",
+                  file=sys.stderr)
 
     if os.environ.get("FSGM_BENCH_STAGES", "0") == "1" and cfg not in ("flow", "4kflow"):
         from fsgm_tpu.models.stereo import resolve_backend

@@ -1,0 +1,132 @@
+"""Preset <-> bench pinning + backend resolution (round-3 verdict items
+"Pin presets to reality" and "What's weak #7").
+
+The BASELINE configs are checked in as presets in configs/*.json
+(SURVEY.md §5 "Config / flag system"); bench.py constructs its measured
+params FROM those files (bench.py::bench_params), and these tests pin
+that the files decode into exactly the parameter objects the benchmark
+and PARITY tables describe — presets and bench can no longer drift.
+"""
+
+import os
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[2]
+sys.path.insert(0, str(REPO))
+
+import bench  # noqa: E402
+from fsgm_tpu.params import (SGMParams, FlowParams, DistParams,  # noqa: E402
+                             load_preset)
+
+
+ALL_PRESETS = sorted(p.name for p in (REPO / "configs").glob("*.json"))
+
+
+def test_all_presets_decode():
+    assert ALL_PRESETS == ["kitti_16path.json", "kitti_flow.json",
+                           "kitti_stereo.json", "tiled_4k.json",
+                           "tsukuba.json"]
+    for name in ALL_PRESETS:
+        out = load_preset(str(REPO / "configs" / name))
+        assert "description" in out
+        assert any(isinstance(v, (SGMParams, FlowParams, DistParams))
+                   for v in out.values()), name
+
+
+@pytest.mark.parametrize("cfg,expected", [
+    ("kitti", SGMParams(max_disp=128, p1=7, p2=100, num_paths=8,
+                        subpixel=True, lr_check=True, median_filter=True)),
+    ("tsukuba", SGMParams(max_disp=64, p1=7, p2=100, num_paths=8,
+                          subpixel=True, lr_check=True,
+                          median_filter=True)),
+    ("kitti16", SGMParams(max_disp=128, p1=7, p2=100, num_paths=16,
+                          adaptive_p2=True, subpixel=True, lr_check=True,
+                          median_filter=True)),
+    ("4k", SGMParams(max_disp=128, p1=7, p2=100, num_paths=8,
+                     subpixel=True, lr_check=True, median_filter=True)),
+    ("flow", FlowParams(search_radius=4, levels=4, p1=7, p2=100,
+                        fb_backward="half", fb_grid="full")),
+    ("4kflow", FlowParams(search_radius=4, levels=5, p1=7, p2=100,
+                          fb_backward="half", fb_grid="full")),
+])
+def test_bench_params_match_presets(cfg, expected, monkeypatch):
+    """bench_params(cfg) == the params the bench/PARITY tables describe.
+
+    In particular the round-3 drift — kitti_flow.json shipping
+    fb_backward="cheap" while the benchmarked default was "half" — can
+    never recur: the bench builds from the file and this test pins the
+    file's contents."""
+    monkeypatch.delenv("FSGM_BENCH_FB", raising=False)
+    monkeypatch.delenv("FSGM_BENCH_FBGRID", raising=False)
+    assert bench.bench_params(cfg) == expected
+
+
+def test_bench_flow_env_overrides(monkeypatch):
+    monkeypatch.setenv("FSGM_BENCH_FB", "full")
+    monkeypatch.setenv("FSGM_BENCH_FBGRID", "half")
+    p = bench.bench_params("flow")
+    assert p.fb_backward == "full" and p.fb_grid == "half"
+
+
+def test_flow_label_pixels_honest_accounting():
+    """The honest flow-Mpd/s numerator counts exactly the aggregated
+    label-pixels: every forward pyramid level, plus the backward levels
+    the configured fb_backward mode really runs."""
+    fp = bench.bench_params("flow")
+    h, w = 368, 1232
+    dims = [(368, 1232), (184, 616), (92, 308), (46, 154)]
+    fwd = sum(a * b for a, b in dims)
+    bwd_half = sum(a * b for a, b in dims[1:])
+    assert fp.fb_backward == "half"
+    assert bench.flow_label_pixels(h, w, fp) == (fwd + bwd_half) * 81
+
+    import dataclasses
+    full = dataclasses.replace(fp, fb_backward="full")
+    assert bench.flow_label_pixels(h, w, full) == 2 * fwd * 81
+    single = dataclasses.replace(fp, fb_backward="single")
+    assert bench.flow_label_pixels(h, w, single) == (fwd + h * w) * 81
+    # 'cheap' skips extraction, not aggregation -> same count as full
+    cheap = dataclasses.replace(fp, fb_backward="cheap")
+    assert bench.flow_label_pixels(h, w, cheap) == 2 * fwd * 81
+
+
+def test_bench_history_covers_all_configs():
+    import json
+    hist = json.loads((REPO / "bench_history.json").read_text())
+    assert set(hist["configs"]) == set(bench.CONFIGS)
+    for cfg, e in hist["configs"].items():
+        assert e["best_ms_frame"] > 0 and 0 < e["tolerance"] < 1, cfg
+
+
+def test_backend_resolution(monkeypatch):
+    """'pallas' resolves to the transposed-layout generation by default;
+    FSGM_TR=0 pins lane-major; explicit names pass through (round-3
+    verdict "What's weak #7" — the production resolution path itself)."""
+    from fsgm_tpu.models.stereo import resolve_backend
+    monkeypatch.delenv("FSGM_TR", raising=False)
+    assert resolve_backend("pallas") == "pallas_tr"
+    monkeypatch.setenv("FSGM_TR", "1")
+    assert resolve_backend("pallas") == "pallas_tr"
+    monkeypatch.setenv("FSGM_TR", "0")
+    assert resolve_backend("pallas") == "pallas"
+    for explicit in ("pallas_tr", "xla"):
+        assert resolve_backend(explicit) == explicit
+
+
+def test_batch_fold_gate_respects_total_lanes(monkeypatch):
+    """ADVICE r3: the fold gate must bound the FOLDED lane count
+    (batch * padded height), not just the per-frame height, or a huge
+    batch widens the Pallas blocks past the VMEM ceiling."""
+    from fsgm_tpu.ops.pallas.aggregate_tr import (fold_max_lanes,
+                                                  fold_max_total_lanes)
+    assert fold_max_lanes() == 320
+    assert fold_max_total_lanes() == 8192
+    # Tsukuba batch 16 folds (the measured-win case) ...
+    assert 16 * 288 <= fold_max_total_lanes()
+    # ... a batch-64 Tsukuba run does not.
+    assert 64 * 288 > fold_max_total_lanes()
+    monkeypatch.setenv("FSGM_FOLD_MAXTOTAL", "100")
+    assert fold_max_total_lanes() == 100

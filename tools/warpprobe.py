@@ -104,9 +104,9 @@ def main() -> None:
     orig = costmod._flow_cost_planes
 
     def idwarp(cen1, cen2, base_u, base_v, radius, invalid_cost,
-               y_offset, identity_base):
+               y_offset, identity_base, block_warp=False):
         return orig(cen1, cen2, base_u * 0, base_v * 0, radius,
-                    invalid_cost, y_offset, True)
+                    invalid_cost, y_offset, True, block_warp)
 
     # a distinct STATIC arg forces a retrace (same-shape array args would
     # silently reuse the already-compiled real-warp executable)
