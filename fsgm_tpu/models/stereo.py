@@ -46,7 +46,8 @@ def _aggregate(cost: jnp.ndarray, img: jnp.ndarray, params: SGMParams,
 
 def _s_volume_tr(cen_l: jnp.ndarray, cen_r: jnp.ndarray, img: jnp.ndarray,
                  params: SGMParams, right_reference: bool = False,
-                 major_out: bool = False) -> jnp.ndarray:
+                 major_out: bool = False,
+                 pair_out: bool = False) -> jnp.ndarray:
     """S via the transposed-layout sweeps: label-major cost volumes built
     directly in each family's scan layout (no lane-major volume ever
     materializes).  major_out=True keeps S in (H, L, W) for the
@@ -73,7 +74,7 @@ def _s_volume_tr(cen_l: jnp.ndarray, cen_r: jnp.ndarray, img: jnp.ndarray,
     return aggregate_tr.aggregate_paths_tr(
         cost_hlw, img, params.dirs, params.p1, params.p2,
         params.adaptive_p2, s_max=params.s_invalid, cost_wlh=cost_wlh,
-        major_out=major_out)
+        major_out=major_out, pair_out=pair_out)
 
 
 def compute_s_volume(img_l: jnp.ndarray, img_r: jnp.ndarray,
@@ -143,18 +144,21 @@ def extract_disparity(s: jnp.ndarray, params: SGMParams,
 
 
 def extract_disparity_kernel(s_major: jnp.ndarray, params: SGMParams,
-                             d_right: jnp.ndarray | None = None
+                             d_right: jnp.ndarray | None = None,
+                             s_major2: jnp.ndarray | None = None
                              ) -> jnp.ndarray:
     """Fused-kernel extraction: ONE Pallas pass over the label-major S
     yields WTA + the subpixel neighborhood + the sheared right-WTA
     (ops/pallas/extract_tr.py); the rest of the stage (parabola, LR,
     median, fill) is cheap (H, W) XLA.  S is never transposed to the
-    minor layout and never re-read."""
+    minor layout and never re-read.  s_major2: the horizontal-family
+    half-sum from pair_out aggregation, merged in-kernel (round-4
+    trace-derived saving; see aggregate_paths_tr)."""
     from fsgm_tpu.ops.pallas import extract_tr
     need_rwta = params.lr_check and d_right is None
     d_int, s_m, s_0, s_p, d_r = extract_tr.extract_stereo_major(
         s_major, params.s_invalid, with_sub=params.subpixel,
-        with_rwta=need_rwta)
+        with_rwta=need_rwta, s_major2=s_major2)
     if need_rwta:
         d_right = d_r
     disp = d_int.astype(jnp.float32)
@@ -204,19 +208,29 @@ def _stereo_sgm_jit(img_l: jnp.ndarray, img_r: jnp.ndarray,
         # the tr sweeps natively produce label-MAJOR S; extraction runs in
         # the measured-fastest mode (_extract_mode):
         #   kernel - fused Pallas pass (WTA + neighborhood + sheared
-        #            right-WTA in one read of S, no transposes)
+        #            right-WTA in one read of S, no transposes); the S
+        #            halves arrive UNMERGED (pair_out) and add in-kernel
+        #   kernelm- same kernel on the materialized (XLA-merged) S — the
+        #            round-3 graph, kept for A/B (FSGM_EXTRACT=kernelm)
         #   minor  - transpose S, XLA minor-layout extraction (right-WTA
         #            from the Pallas shear kernel unless FSGM_RWTA=xla)
         #   major  - XLA label-major extraction
         cen_l = census_transform(img_l, params.census_window)
         cen_r = census_transform(img_r, params.census_window)
-        s_major = _s_volume_tr(cen_l, cen_r, img_l, params, major_out=True)
+        pair = extract_mode == "kernel" and len(params.dirs) >= 4
+        if pair:
+            s_major, s_h_t = _s_volume_tr(cen_l, cen_r, img_l, params,
+                                          pair_out=True)
+        else:
+            s_major = _s_volume_tr(cen_l, cen_r, img_l, params,
+                                   major_out=True)
         if params.lr_check and params.lr_mode == "reagg":
             d_right = right_disparity_reagg(cen_l, cen_r, img_r,
                                             params, backend)
-        if extract_mode == "kernel":
-            return extract_disparity_kernel(s_major, params,
-                                            d_right=d_right)
+        if extract_mode in ("kernel", "kernelm"):
+            return extract_disparity_kernel(
+                s_major, params, d_right=d_right,
+                s_major2=s_h_t if pair else None)
         if extract_mode == "major":
             return extract_disparity_major(s_major, params, d_right=d_right)
         if (params.lr_check and d_right is None and rwta_pallas):
@@ -252,9 +266,10 @@ def _extract_major(backend: str, default: str = "0") -> bool:
 
 def _extract_mode(backend: str) -> str:
     """Stereo extraction mode for the pallas_tr backend: 'kernel' (fused
-    Pallas extraction, the default), 'minor', or 'major' via FSGM_EXTRACT.
-    An explicit FSGM_EXTRACT_MAJOR (used by the layout parity tests) pins
-    the corresponding XLA mode."""
+    Pallas extraction on the UNMERGED pair — the default), 'kernelm'
+    (same kernel on the XLA-merged S, the round-3 graph, for A/B),
+    'minor', or 'major' via FSGM_EXTRACT.  An explicit FSGM_EXTRACT_MAJOR
+    (used by the layout parity tests) pins the corresponding XLA mode."""
     import os
     if backend != "pallas_tr":
         return "minor"
@@ -262,7 +277,7 @@ def _extract_mode(backend: str) -> str:
     if em is not None:
         return "major" if em == "1" else "minor"
     mode = os.environ.get("FSGM_EXTRACT", "kernel")
-    assert mode in ("kernel", "minor", "major"), mode
+    assert mode in ("kernel", "kernelm", "minor", "major"), mode
     return mode
 
 
@@ -276,7 +291,8 @@ def _rwta_pallas(backend: str) -> bool:
 
 def _s_volume_tr_batch(cen_l: jnp.ndarray, cen_r: jnp.ndarray,
                        imgs: jnp.ndarray, params: SGMParams,
-                       right_reference: bool = False) -> jnp.ndarray:
+                       right_reference: bool = False,
+                       pair_out: bool = False) -> jnp.ndarray:
     """Batched label-major S: vertical families vmapped per frame, the
     horizontal family lane-folded across the batch (its (W, L, H) layout
     has short H lanes; see aggregate_paths_tr_batch)."""
@@ -287,7 +303,7 @@ def _s_volume_tr_batch(cen_l: jnp.ndarray, cen_r: jnp.ndarray,
         cen_l, cen_r)
     return aggregate_tr.aggregate_paths_tr_batch(
         cost, imgs, params.dirs, params.p1, params.p2, params.adaptive_p2,
-        s_max=params.s_invalid, major_out=True)
+        s_max=params.s_invalid, major_out=not pair_out, pair_out=pair_out)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
@@ -302,16 +318,23 @@ def _stereo_sgm_batch_jit(imgs_l: jnp.ndarray, imgs_r: jnp.ndarray,
             imgs_l, imgs_r)
     cen = jax.vmap(lambda x: census_transform(x, params.census_window))
     cen_l, cen_r = cen(imgs_l), cen(imgs_r)
-    s_major = _s_volume_tr_batch(cen_l, cen_r, imgs_l, params)
+    pair = extract_mode == "kernel" and len(params.dirs) >= 4
+    s_h_t = None
+    if pair:
+        s_major, s_h_t = _s_volume_tr_batch(cen_l, cen_r, imgs_l, params,
+                                            pair_out=True)
+    else:
+        s_major = _s_volume_tr_batch(cen_l, cen_r, imgs_l, params)
     d_right = None
     if params.lr_check and params.lr_mode == "reagg":
         s_r = _s_volume_tr_batch(cen_l, cen_r, imgs_r, params,
                                  right_reference=True)
         d_right = jax.vmap(ext.wta_major)(s_r)
 
-    def one(s, dr=None):
-        if extract_mode == "kernel":
-            return extract_disparity_kernel(s, params, d_right=dr)
+    def one(s, s2=None, dr=None):
+        if extract_mode in ("kernel", "kernelm"):
+            return extract_disparity_kernel(s, params, d_right=dr,
+                                            s_major2=s2)
         if extract_mode == "major":
             return extract_disparity_major(s, params, d_right=dr)
         if params.lr_check and dr is None and rwta_pallas:
@@ -320,9 +343,14 @@ def _stereo_sgm_batch_jit(imgs_l: jnp.ndarray, imgs_r: jnp.ndarray,
         return extract_disparity(jnp.transpose(s, (0, 2, 1)), params,
                                  backend, d_right=dr)
 
-    if d_right is None:
-        return jax.vmap(one)(s_major)
-    return jax.vmap(one)(s_major, d_right)
+    if pair:
+        if d_right is not None:
+            return jax.vmap(lambda s, s2, dr: one(s, s2, dr))(
+                s_major, s_h_t, d_right)
+        return jax.vmap(lambda s, s2: one(s, s2))(s_major, s_h_t)
+    if d_right is not None:
+        return jax.vmap(lambda s, dr: one(s, None, dr))(s_major, d_right)
+    return jax.vmap(one)(s_major)
 
 
 def stereo_sgm_batch(imgs_l: jnp.ndarray, imgs_r: jnp.ndarray,
@@ -340,10 +368,14 @@ def stereo_sgm_batch(imgs_l: jnp.ndarray, imgs_r: jnp.ndarray,
     # fold only when the per-frame lane count (padded height) is small
     # enough to pay (aggregate_tr.fold_max_lanes: measured gate); the
     # serialized fallback is the plain vmap over stereo_sgm
-    from fsgm_tpu.ops.pallas.aggregate_tr import fold_max_lanes
+    from fsgm_tpu.ops.pallas.aggregate_tr import (fold_max_lanes,
+                                                  fold_max_total_lanes)
     hp = -(-imgs_l.shape[1] // 8) * 8
     fold = (os.environ.get("FSGM_BATCH_FOLD", "1") != "0"
-            and hp <= fold_max_lanes())
+            and hp <= fold_max_lanes()
+            # VMEM guard: the folded sweep's blocks are (rb, L, B*Hp) —
+            # unbounded batch would blow the compile-time VMEM ceiling
+            and imgs_l.shape[0] * hp <= fold_max_total_lanes())
     return _stereo_sgm_batch_jit(imgs_l, imgs_r, params, backend,
                                  _extract_mode(backend),
                                  _rwta_pallas(backend), fold)

@@ -87,7 +87,6 @@ def make_tr_nmin_2d(p1: int, ext: int, inf: int = INF32) -> Callable:
     kernel's 128-pad).  u-neighbors are sublane shifts by 1 masked at the
     u-row wrap, v-neighbors sublane shifts by ext."""
     def nmin(prev: jnp.ndarray) -> jnp.ndarray:
-        nl = prev.shape[0]
         sub = jax.lax.broadcasted_iota(jnp.int32, prev.shape, 0)
         f1 = jnp.full((1,) + prev.shape[1:], inf, prev.dtype)
         fe = jnp.full((ext,) + prev.shape[1:], inf, prev.dtype)
@@ -98,7 +97,6 @@ def make_tr_nmin_2d(p1: int, ext: int, inf: int = INF32) -> Callable:
                           jnp.asarray(inf, prev.dtype), right)
         up = jnp.concatenate([fe, prev[:-ext]], axis=0)
         down = jnp.concatenate([prev[ext:], fe], axis=0)
-        del nl
         return jnp.minimum(jnp.minimum(left, right),
                            jnp.minimum(up, down)) + p1
     return nmin
@@ -122,7 +120,7 @@ def tr_carry_units(dirs: Sequence[Tuple[int, int]]) -> int:
 
 def _make_tr_kernel(dirs, nd: int, w: int, rb: int, reverse: bool,
                     nmin: Callable, s_dtype, cdt, inf: int, carry_dt,
-                    n_steps: int, with_carry: bool):
+                    n_steps: int, with_carry: bool, fresh: bool = False):
     """dirs: canonical (ady, dx), ady in {1, 2}.  Each grid step processes
     `rb` rows of the canonicalized volume (row blocking amortizes per-step
     overhead on the W-long horizontal scans); `reverse` flips both the
@@ -139,9 +137,15 @@ def _make_tr_kernel(dirs, nd: int, w: int, rb: int, reverse: bool,
     n_units = off
 
     def kernel(*refs):
-        if with_carry:
+        s_ref = None
+        if with_carry and fresh:
+            (c_ref, p2e_ref, cin_ref,
+             s_out_ref, cout_ref, carry_ref) = refs
+        elif with_carry:
             (c_ref, p2e_ref, s_ref, cin_ref,
              s_out_ref, cout_ref, carry_ref) = refs
+        elif fresh:
+            c_ref, p2e_ref, s_out_ref, carry_ref = refs
         else:
             c_ref, p2e_ref, s_ref, s_out_ref, carry_ref = refs
         i = pl.program_id(0)
@@ -156,7 +160,12 @@ def _make_tr_kernel(dirs, nd: int, w: int, rb: int, reverse: bool,
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
         rows = range(rb - 1, -1, -1) if reverse else range(rb)
         for r in rows:
-            acc = s_ref[r].astype(cdt)                    # (nd, w)
+            # fresh mode (round-4 trace finding): the FIRST family of a
+            # volume accumulates from zero, so reading an aliased
+            # all-zero S block (plus XLA materializing the zero
+            # broadcast in HBM, ~2.9 ms/16-frame dispatch each) is pure
+            # waste — start the accumulator at the first direction's L
+            acc = None if fresh else s_ref[r].astype(cdt)  # (nd, w)
             cost = c_ref[r].astype(cdt)
             for k, (ady, dx) in enumerate(dirs):
                 o = offs[k]
@@ -179,7 +188,7 @@ def _make_tr_kernel(dirs, nd: int, w: int, rb: int, reverse: bool,
                 if ady == 2:
                     carry_ref[o + 1] = carry_ref[o]
                 carry_ref[o] = l.astype(carry_dt)
-                acc = acc + l
+                acc = l if acc is None else acc + l
             s_out_ref[r] = acc.astype(s_dtype)
 
         if with_carry:
@@ -205,20 +214,24 @@ def _scratch_dt(cdt, carry_dt):
 
 def tr_family_sweep(cost_t: jnp.ndarray, img: jnp.ndarray,
                     family: Sequence[Tuple[int, int]], p1: int, p2: int,
-                    adaptive_p2: bool, s_t: jnp.ndarray,
+                    adaptive_p2: bool, s_t: jnp.ndarray | None,
                     label_ext: int | None = None,
                     init_carry: jnp.ndarray | None = None,
                     return_carry: bool = False,
                     img_above2: jnp.ndarray | None = None,
                     img_below2: jnp.ndarray | None = None,
-                    row_block: int | None = None):
+                    row_block: int | None = None,
+                    out_dtype=None):
     """One vertical-family pass in transposed layout.
 
     cost_t: (H', L, W') u8 — the CANONICALIZED volume (for horizontal
     image paths the caller passes the transposed-image volume (Wp, L, Hp)
     and directions mapped (0,dx) -> (dx,0)).  img: (H', W') matching the
     canonical frame (used for adaptive P2).  s_t: (H', L, W') accumulator,
-    aliased in place.  family: all dy>0 or all dy<0.
+    aliased in place — or None ("fresh" mode, round-4 trace finding): the
+    kernel takes no S input at all and writes sum_r L_r directly in
+    `out_dtype`, skipping the zero-broadcast materialization AND the
+    all-zero S read of a first-family call.  family: all dy>0 or all dy<0.
 
     init_carry/return_carry expose the (tr_carry_units, L, W') boundary
     state exactly like aggregate_pallas.row_family_sweep (zeros = start
@@ -228,6 +241,8 @@ def tr_family_sweep(cost_t: jnp.ndarray, img: jnp.ndarray,
     reverse = family[0][0] < 0
     h, nd, w = cost_t.shape
     n_dirs = len(family)
+    fresh = s_t is None
+    s_dtype = jnp.dtype(out_dtype) if fresh else s_t.dtype
     cdt, inf = _compute_dtype()
     nmin = (make_tr_nmin_1d(p1, inf) if label_ext is None
             else make_tr_nmin_2d(p1, label_ext, inf))
@@ -248,24 +263,28 @@ def tr_family_sweep(cost_t: jnp.ndarray, img: jnp.ndarray,
 
     with_carry = init_carry is not None or return_carry
     kernel, n_units = _make_tr_kernel(canon, nd, w, rb, reverse, nmin,
-                                      s_t.dtype, cdt, inf, scratch_dt,
-                                      n_steps, with_carry)
+                                      s_dtype, cdt, inf, scratch_dt,
+                                      n_steps, with_carry, fresh)
+    blkmap = lambda i: (blk(i), 0, 0)                     # noqa: E731
     in_specs = [
-        pl.BlockSpec((rb, nd, w), lambda i: (blk(i), 0, 0)),
-        pl.BlockSpec((rb, n_dirs, w), lambda i: (blk(i), 0, 0)),
-        pl.BlockSpec((rb, nd, w), lambda i: (blk(i), 0, 0)),
+        pl.BlockSpec((rb, nd, w), blkmap),
+        pl.BlockSpec((rb, n_dirs, w), blkmap),
     ]
-    out_spec = pl.BlockSpec((rb, nd, w), lambda i: (blk(i), 0, 0))
+    s_args, aliases = (), {}
+    if not fresh:
+        in_specs.append(pl.BlockSpec((rb, nd, w), blkmap))
+        s_args, aliases = (s_t,), {2: 0}
+    out_spec = pl.BlockSpec((rb, nd, w), blkmap)
     scratch = [pltpu.VMEM((n_units, nd, w), scratch_dt)]
     cp = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
 
     if not with_carry:
         return pl.pallas_call(
             kernel, grid=(n_steps,), in_specs=in_specs, out_specs=out_spec,
-            out_shape=jax.ShapeDtypeStruct((h, nd, w), s_t.dtype),
-            scratch_shapes=scratch, input_output_aliases={2: 0},
+            out_shape=jax.ShapeDtypeStruct((h, nd, w), s_dtype),
+            scratch_shapes=scratch, input_output_aliases=aliases,
             compiler_params=cp, interpret=_interpret(),
-        )(cost_t, p2e, s_t)
+        )(cost_t, p2e, *s_args)
 
     if init_carry is None:
         init_carry = jnp.zeros((n_units, nd, w), carry_dt)
@@ -277,11 +296,11 @@ def tr_family_sweep(cost_t: jnp.ndarray, img: jnp.ndarray,
     s_out, carry_out = pl.pallas_call(
         kernel, grid=(n_steps,), in_specs=in_specs + [whole],
         out_specs=[out_spec, whole],
-        out_shape=[jax.ShapeDtypeStruct((h, nd, w), s_t.dtype),
+        out_shape=[jax.ShapeDtypeStruct((h, nd, w), s_dtype),
                    jax.ShapeDtypeStruct((n_units, nd, w), carry_dt)],
-        scratch_shapes=scratch, input_output_aliases={2: 0},
+        scratch_shapes=scratch, input_output_aliases=aliases,
         compiler_params=cp, interpret=_interpret(),
-    )(cost_t, p2e, s_t, init_carry)
+    )(cost_t, p2e, *s_args, init_carry)
     if return_carry:
         return s_out, carry_out
     return s_out
@@ -419,8 +438,75 @@ def fold_max_lanes() -> int:
     at KITTI hp=376 (8-path 10.75 -> 10.88-11.16; 16-path 13.54 -> 15.6-
     17.8: the folded i16 S unfold transpose outweighs the short-lane
     saving once lanes are already multiple vregs wide).  Default gates at
-    320; FSGM_FOLD_MAXH overrides (0 disables all folding)."""
+    320; FSGM_FOLD_MAXH overrides (0 disables all folding).
+
+    NOTE (A/B hazard): this env var is read at TRACE time inside jitted
+    code and the jit cache is NOT keyed on it — flipping FSGM_FOLD_MAXH
+    (or FSGM_HFOLD) after a shape has compiled silently reuses the
+    previously compiled variant.  A/B runs need a fresh process per
+    setting (stereo_sgm_batch threads its fold decision as a static jit
+    arg, so the explicit batched entry is safe)."""
     return int(os.environ.get("FSGM_FOLD_MAXH", "320"))
+
+
+def fold_max_total_lanes() -> int:
+    """VMEM guard on the FOLDED lane count (batch * padded height): the
+    folded sweep's per-grid-step blocks and carry scratch are (rb, L,
+    B*Hp) i32, so an unbounded batch would grow them past the ~96 MB
+    VMEM ceiling at compile time.  8192 lanes * 128 labels * 4 B = 4 MB
+    per live array — comfortable headroom for Mosaic's working set while
+    still letting Tsukuba fold at batch 16 (16*288 = 4608) and the flow
+    pyramid's coarse levels fold at batch 8.  Batches past the ceiling
+    serialize (plain vmap), which is also the measured-faster regime for
+    wide lane counts.  FSGM_FOLD_MAXTOTAL overrides; same trace-time
+    caching caveat as fold_max_lanes."""
+    return int(os.environ.get("FSGM_FOLD_MAXTOTAL", "8192"))
+
+
+def _fresh_enabled() -> bool:
+    """Fresh-write first-family sweeps (no zero accumulator).  Default on;
+    FSGM_TR_FRESH=0 pins the round-3 zero-accumulator graph for A/B.
+    Read at trace time — same fresh-process caveat as fold_max_lanes."""
+    return os.environ.get("FSGM_TR_FRESH", "1") != "0"
+
+
+@_ft.lru_cache(maxsize=None)
+def _hfamily_sweep_cv_fresh(family: Tuple[Tuple[int, int], ...], p1: int,
+                            p2: int, adaptive_p2: bool,
+                            label_ext: int | None, out_dtype_name: str):
+    """Fresh-mode counterpart of _hfamily_sweep_cv: (cost_t, img) -> S
+    with no accumulator input.  Same lane-fold batching rule."""
+    assert all(dx == 0 for _, dx in family), family
+    out_dtype = jnp.dtype(out_dtype_name)
+
+    def base(cost_t, img):
+        return tr_family_sweep(cost_t, img, list(family), p1, p2,
+                               adaptive_p2, None, label_ext,
+                               out_dtype=out_dtype)
+
+    cv = jax.custom_batching.custom_vmap(base)
+
+    @cv.def_vmap
+    def _rule(axis_size, in_batched, cost_t, img):
+        b = axis_size
+        if not in_batched[0]:
+            cost_t = jnp.broadcast_to(cost_t, (b,) + cost_t.shape)
+        if not in_batched[1]:
+            img = jnp.broadcast_to(img, (b,) + img.shape)
+        _, w, nd, hp = cost_t.shape
+        if hp > fold_max_lanes() or b * hp > fold_max_total_lanes():
+            plain = lambda c, g: tr_family_sweep(  # noqa: E731
+                c, g, list(family), p1, p2, adaptive_p2, None, label_ext,
+                out_dtype=out_dtype)
+            return jax.vmap(plain)(cost_t, img), True
+        fold = lambda x: jnp.transpose(x, (1, 2, 0, 3)).reshape(  # noqa
+            w, nd, b * hp)
+        out = base(fold(cost_t),
+                   jnp.transpose(img, (1, 0, 2)).reshape(w, b * hp))
+        out = out.reshape(w, nd, b, hp)
+        return jnp.transpose(out, (2, 0, 1, 3)), True
+
+    return cv
 
 
 @_ft.lru_cache(maxsize=None)
@@ -436,7 +522,11 @@ def _hfamily_sweep_cv(family: Tuple[Tuple[int, int], ...], p1: int,
     under the bench's frame vmap and the fwd/bwd lockstep vmap above all
     (the horizontal volume's lanes are the image HEIGHT, the short axis;
     see aggregate_paths_tr_batch for the measured rationale).  Nested
-    vmaps fold recursively."""
+    vmaps fold recursively AS LONG AS each inner level folds (the folded
+    call re-enters this cv with a wider lane axis); once a level takes
+    the wide-lane serialized fallback, that fallback calls
+    tr_family_sweep directly and every remaining outer vmap serializes
+    too."""
     assert all(dx == 0 for _, dx in family), family
 
     def base(cost_t, img, s_t):
@@ -455,10 +545,14 @@ def _hfamily_sweep_cv(family: Tuple[Tuple[int, int], ...], p1: int,
         if not in_batched[2]:
             s_t = jnp.broadcast_to(s_t, (b,) + s_t.shape)
         _, w, nd, hp = cost_t.shape
-        if hp > fold_max_lanes():
-            # lanes already wide: folding measured slower (see
-            # fold_max_lanes); serialize over the leading grid dim like
-            # plain vmap would (base is the cv itself — recursion)
+        if hp > fold_max_lanes() or b * hp > fold_max_total_lanes():
+            # lanes already wide (or total folded width past the VMEM
+            # guard): folding measured slower / unsafe — serialize over
+            # the leading grid dim like plain vmap would.  `plain` calls
+            # tr_family_sweep directly, NOT the cv wrapper, so this
+            # branch fully serializes: an enclosing vmap cannot re-fold
+            # it (routing through cv here would recurse into this same
+            # rule with unchanged hp, i.e. infinitely).
             plain = lambda c, g, s: tr_family_sweep(  # noqa: E731
                 c, g, list(family), p1, p2, adaptive_p2, s, label_ext)
             return jax.vmap(plain)(cost_t, img, s_t), True
@@ -478,7 +572,8 @@ def aggregate_paths_tr_batch(cost_bhlw: jnp.ndarray, imgs: jnp.ndarray,
                              p1: int, p2: int, adaptive_p2: bool = False,
                              label_ext: int | None = None,
                              s_max: int | None = None,
-                             major_out: bool = False) -> jnp.ndarray:
+                             major_out: bool = False,
+                             pair_out: bool = False) -> jnp.ndarray:
     """Batched aggregate_paths_tr with the HORIZONTAL family lane-folded.
 
     The horizontal-family sweeps run on the transposed (W, L, H) volume,
@@ -512,11 +607,15 @@ def aggregate_paths_tr_batch(cost_bhlw: jnp.ndarray, imgs: jnp.ndarray,
             if down and up and _dual_enabled():
                 return tr_dual_family_sweep(c, img, down, up, p1, p2,
                                             adaptive_p2, s_dtype, label_ext)
-            s_v = jnp.zeros((h, nd, w), s_dtype)
-            if down:
-                s_v = tr_family_sweep(c, img, down, p1, p2, adaptive_p2,
-                                      s_v, label_ext)
-            if up:
+            first = down if down else up
+            if _fresh_enabled():
+                s_v = tr_family_sweep(c, img, first, p1, p2, adaptive_p2,
+                                      None, label_ext, out_dtype=s_dtype)
+            else:
+                s_v = tr_family_sweep(c, img, first, p1, p2, adaptive_p2,
+                                      jnp.zeros((h, nd, w), s_dtype),
+                                      label_ext)
+            if down and up:
                 s_v = tr_family_sweep(c, img, up, p1, p2, adaptive_p2,
                                       s_v, label_ext)
             return s_v
@@ -538,13 +637,23 @@ def aggregate_paths_tr_batch(cost_bhlw: jnp.ndarray, imgs: jnp.ndarray,
             s_h = tr_dual_family_sweep(cwlh, imgt, fwd, bwd, p1, p2,
                                        adaptive_p2, s_dtype, label_ext)
         else:
-            s_h = jnp.zeros((wp, nd, b * hp), s_dtype)
-            if fwd:
-                s_h = tr_family_sweep(cwlh, imgt, fwd, p1, p2,
-                                      adaptive_p2, s_h, label_ext)
-            if bwd:
+            first = fwd if fwd else bwd
+            if _fresh_enabled():
+                s_h = tr_family_sweep(cwlh, imgt, first, p1, p2,
+                                      adaptive_p2, None, label_ext,
+                                      out_dtype=s_dtype)
+            else:
+                s_h = tr_family_sweep(cwlh, imgt, first, p1, p2,
+                                      adaptive_p2,
+                                      jnp.zeros((wp, nd, b * hp), s_dtype),
+                                      label_ext)
+            if fwd and bwd:
                 s_h = tr_family_sweep(cwlh, imgt, bwd, p1, p2,
                                       adaptive_p2, s_h, label_ext)
+        if pair_out:
+            assert s is not None and not major_out
+            s_h = jnp.transpose(s_h.reshape(wp, nd, b, hp), (2, 3, 1, 0))
+            return s, s_h                      # (B,H,L,W), (B,Hp,L,Wp)
         s_h = s_h[:w].reshape(w, nd, b, hp)[..., :h]
         s_h = jnp.transpose(s_h, (2, 3, 1, 0))                 # (B,H,L,W)
         s = s + s_h if s is not None else s_h
@@ -573,7 +682,8 @@ def aggregate_paths_tr(cost_hlw: jnp.ndarray, img: jnp.ndarray,
                        label_ext: int | None = None,
                        s_max: int | None = None,
                        cost_wlh: jnp.ndarray | None = None,
-                       major_out: bool = False) -> jnp.ndarray:
+                       major_out: bool = False,
+                       pair_out: bool = False) -> jnp.ndarray:
     """S = sum_r L_r via transposed-layout family sweeps.
 
     cost_hlw: (H, L, W) u8 label-MAJOR cost (L may exceed the true label
@@ -583,7 +693,14 @@ def aggregate_paths_tr(cost_hlw: jnp.ndarray, img: jnp.ndarray,
     here by one XLA transpose if omitted).  Returns (H, W, L) int16/int32
     — same contract as aggregate_pallas.aggregate_paths — or, with
     major_out=True, the label-MAJOR (H, L, W) S (saves one transpose;
-    consumers extract with ops/extract.py's *_major functions)."""
+    consumers extract with ops/extract.py's *_major functions).
+
+    pair_out=True (requires both family groups; stereo fused-kernel
+    extraction path) returns the UNMERGED pair (s_v (H, L, W),
+    s_h_t (Hp, L, Wp)) — still padded; the extraction kernel adds them
+    in-kernel and its BlockSpec skips the pads, deleting two full-volume
+    XLA passes (slice + add) that the round-4 trace showed costing
+    ~0.9 ms/frame at KITTI size."""
     h, nd, w = cost_hlw.shape
     s_dtype, _ = plan_dtypes(p2, s_max)
 
@@ -603,11 +720,17 @@ def aggregate_paths_tr(cost_hlw: jnp.ndarray, img: jnp.ndarray,
         s_v = tr_dual_family_sweep(cost_hlw, img, down, up, p1, p2,
                                    adaptive_p2, s_dtype, label_ext)
     elif down or up:
-        s_v = jnp.zeros((h, nd, w), s_dtype)
-        if down:
-            s_v = tr_family_sweep(cost_hlw, img, down, p1, p2, adaptive_p2,
-                                  s_v, label_ext)
-        if up:
+        first = down if down else up
+        if _fresh_enabled():
+            s_v = tr_family_sweep(cost_hlw, img, first, p1, p2,
+                                  adaptive_p2, None, label_ext,
+                                  out_dtype=s_dtype)
+        else:
+            s_v = tr_family_sweep(cost_hlw, img, first, p1, p2,
+                                  adaptive_p2,
+                                  jnp.zeros((h, nd, w), s_dtype),
+                                  label_ext)
+        if down and up:
             s_v = tr_family_sweep(cost_hlw, img, up, p1, p2, adaptive_p2,
                                   s_v, label_ext)
 
@@ -643,14 +766,31 @@ def aggregate_paths_tr(cost_hlw: jnp.ndarray, img: jnp.ndarray,
             if os.environ.get("FSGM_HFOLD", "1") == "0":
                 sweep = lambda f: (lambda c, g, s: tr_family_sweep(  # noqa
                     c, g, list(f), p1, p2, adaptive_p2, s, label_ext))
+                fresh_sweep = lambda f: (lambda c, g: tr_family_sweep(  # noqa
+                    c, g, list(f), p1, p2, adaptive_p2, None, label_ext,
+                    out_dtype=s_dtype))
             else:
                 sweep = lambda f: _hfamily_sweep_cv(  # noqa: E731
                     tuple(f), p1, p2, adaptive_p2, label_ext)
-            s_h = jnp.zeros((wp, nd, hp), s_dtype)
-            if fwd:
-                s_h = sweep(fwd)(cost_wlh, imgt, s_h)
-            if bwd:
+                fresh_sweep = lambda f: _hfamily_sweep_cv_fresh(  # noqa
+                    tuple(f), p1, p2, adaptive_p2, label_ext,
+                    jnp.dtype(s_dtype).name)
+            first = fwd if fwd else bwd
+            if _fresh_enabled():
+                s_h = fresh_sweep(first)(cost_wlh, imgt)
+            else:
+                s_h = sweep(first)(cost_wlh, imgt,
+                                   jnp.zeros((wp, nd, hp), s_dtype))
+            if fwd and bwd:
                 s_h = sweep(bwd)(cost_wlh, imgt, s_h)
+        if pair_out:
+            # round-4 trace finding: slicing the pads (a full S pass) and
+            # the materialized s_v + s_h add (another) are deleted by
+            # handing the extraction kernel the PAIR — the transpose back
+            # to row-major is the only remaining XLA pass, and the
+            # consumer's BlockSpec never touches the pad rows/lanes
+            assert s_v is not None and not major_out
+            return s_v, jnp.transpose(s_h, (2, 1, 0))
         s_h = s_h[:w]
 
     if major_out:

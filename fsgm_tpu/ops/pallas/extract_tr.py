@@ -57,13 +57,28 @@ BIG = 1 << 24   # out-of-range neighborhood sentinel (ops/extract.py::
 
 
 def _make_extract_kernel(nl: int, w: int, w_true: int, rb: int,
-                         s_invalid: int, with_sub: bool, with_rwta: bool):
+                         s_invalid: int, with_sub: bool, with_rwta: bool,
+                         paired: int | bool = False):
     """Fused stereo extraction on label-major S: per row, ONE read of the
     (L, W) block computes packed WTA (argmin + S[d*], smallest-index
     tie-break), the one-hot S[d*-1]/S[d*+1] neighborhood for subpixel, and
     the sheared right-WTA — everything the volume is needed for, so the
-    pipeline never transposes S to the minor layout at all."""
-    def kernel(s_ref, *o_refs):
+    pipeline never transposes S to the minor layout at all.
+
+    paired: the volume arrives as TWO half-sums (vertical-family S and
+    the transposed horizontal-family S) merged here with one in-VMEM add
+    — the round-4 trace showed the materialized XLA merge (slice + add,
+    two full-volume passes) costing ~0.9 ms/frame at KITTI size.  The
+    second half may carry lane pad (paired = its block width w2 >= w;
+    Mosaic requires whole-dim blocks, so the pad is sliced off IN VMEM
+    after the load, never in HBM)."""
+    w2 = paired if paired else w
+
+    def kernel(*refs):
+        if paired:
+            s_ref, s2_ref, *o_refs = refs
+        else:
+            s_ref, *o_refs = refs
         it = iter(o_refs)
         d_ref = next(it)
         if with_sub:
@@ -78,6 +93,11 @@ def _make_extract_kernel(nl: int, w: int, w_true: int, rb: int,
             # sliced off; the shear (the only cross-column op) masks its
             # own out-of-range sources below
             v = s_ref[r].astype(jnp.int32)                   # (L, W)
+            if paired:
+                v2 = s2_ref[r]
+                if w2 != w:
+                    v2 = v2[:, :w]
+                v = v + v2.astype(jnp.int32)
             packed = (v << 8) | sub
             pm = sub_min(packed)                             # (1, W)
             d = pm & 255
@@ -101,18 +121,28 @@ def _make_extract_kernel(nl: int, w: int, w_true: int, rb: int,
 def extract_stereo_major(s_major: jnp.ndarray, s_invalid: int,
                          w_true: int | None = None,
                          with_sub: bool = True, with_rwta: bool = True,
-                         row_block: int = 8):
+                         row_block: int = 8,
+                         s_major2: jnp.ndarray | None = None):
     """(H, L, W) S -> (d_int, s_m, s_0, s_p, d_right), each (H, w_true)
     int32 (s_m/s_0/s_p None without with_sub; d_right None without
     with_rwta).  Bit-identical to ext.wta / ext.neighborhood_of_min /
-    ext.wta_right_from_s on the transposed volume."""
+    ext.wta_right_from_s on the transposed volume.
+
+    s_major2: optional second half-sum (the transposed horizontal-family
+    S from aggregate_paths_tr(pair_out=True)) — may be LARGER than
+    s_major (pad rows/lanes).  Mosaic only accepts whole-dim (or
+    128-multiple) trailing blocks, so its BlockSpec covers the padded
+    width and the kernel slices the pad off in VMEM before the add
+    (see _make_extract_kernel); pad ROWS are simply never visited by
+    the grid."""
     h, nl, w = s_major.shape
     if w_true is None:
         w_true = w
     assert (s_invalid << 8) < (1 << 31), s_invalid
     rb = row_block if h % row_block == 0 else 1
+    paired = s_major2.shape[2] if s_major2 is not None else False
     kernel = _make_extract_kernel(nl, w, w_true, rb, s_invalid,
-                                  with_sub, with_rwta)
+                                  with_sub, with_rwta, paired)
     n_out = 1 + (3 if with_sub else 0) + (1 if with_rwta else 0)
     spec = pl.BlockSpec((rb, 1, w), lambda i: (i, 0, 0))
     shape = jax.ShapeDtypeStruct((h, 1, w), jnp.int32)
@@ -120,12 +150,21 @@ def extract_stereo_major(s_major: jnp.ndarray, s_invalid: int,
     # (8, 128, 3840) i16 input block alone is 2x7.9 MB); same 96 MB limit
     # as the aggregation sweeps
     cp = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+    in_specs = [pl.BlockSpec((rb, nl, w), lambda i: (i, 0, 0))]
+    args = (s_major,)
+    if paired:
+        h2, nl2, w2 = s_major2.shape
+        assert h2 >= h and nl2 == nl and w2 >= w, (s_major2.shape,
+                                                  s_major.shape)
+        assert h2 == h or rb == 1, (h, h2, rb)
+        in_specs.append(pl.BlockSpec((rb, nl, w2), lambda i: (i, 0, 0)))
+        args = (s_major, s_major2)
     outs = pl.pallas_call(
         kernel, grid=(h // rb,),
-        in_specs=[pl.BlockSpec((rb, nl, w), lambda i: (i, 0, 0))],
+        in_specs=in_specs,
         out_specs=[spec] * n_out, out_shape=[shape] * n_out,
         compiler_params=cp, interpret=_interpret(),
-    )(s_major)
+    )(*args)
     outs = [o[:, 0, :w_true] for o in outs]
     it = iter(outs)
     d_int = next(it)
