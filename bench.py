@@ -320,7 +320,7 @@ def _wait_for_backend(jax, retries: int, delay_s: float) -> None:
 def main() -> None:
     import jax
     import jax.numpy as jnp
-    from fsgm_tpu.models.flow import flow_fsgm
+    from fsgm_tpu.models.flow import flow_fsgm_batch
     from fsgm_tpu.io.synthetic import random_dot_stereo, constant_flow_pair
 
     # note: when the relay is down, jax.devices() itself can BLOCK for
@@ -363,9 +363,11 @@ def main() -> None:
 
         @jax.jit
         def run(x, y, salt):
-            flo, valid = jax.vmap(
-                lambda i1, i2: flow_fsgm(i1 + salt, i2 + salt, fparams,
-                                         backend))(x, y)
+            # flow_fsgm_batch: one dispatch, chunked lax.map inside
+            # (FSGM_FLOW_CHUNK; the unchunked batch-8 program crashes
+            # the 2026-08-20 TPU worker — see the entry's docstring)
+            flo, valid = flow_fsgm_batch(x + salt, y + salt, fparams,
+                                         backend)
             return jnp.sum(flo) + jnp.sum(valid)
 
         # honest numerator: label-pixels actually aggregated per frame

@@ -522,6 +522,48 @@ def flow_fsgm(img1: jnp.ndarray, img2: jnp.ndarray, params: FlowParams,
                           _extract_major(backend, default="1"))
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _flow_fsgm_batch_jit(imgs1, imgs2, params: FlowParams, backend: str,
+                         chunk: int, extract_major: bool):
+    b, h, w = imgs1.shape
+    one = jax.vmap(lambda u, v: _flow_fsgm_jit(u, v, params, backend,
+                                               None, extract_major))
+    if chunk >= b:
+        return one(imgs1, imgs2)
+    xs = (imgs1.reshape(b // chunk, chunk, h, w),
+          imgs2.reshape(b // chunk, chunk, h, w))
+    flos, valids = jax.lax.map(lambda xy: one(xy[0], xy[1]), xs)
+    return flos.reshape(b, h, w, 2), valids.reshape(b, h, w)
+
+
+def flow_fsgm_batch(imgs1, imgs2, params: FlowParams,
+                    backend: str = "xla", chunk: int | None = None):
+    """Batched fSGM over (B, H, W) pairs in ONE dispatch.
+
+    The batch is processed `chunk` frames at a time (vmap inside,
+    lax.map over the chunks), which amortizes the per-dispatch relay
+    floor across the whole batch while bounding the live intermediate
+    set to `chunk` frames' pyramids.  An unchunked batch-8 KITTI-size
+    flow program crashes the TPU worker process outright as of the
+    2026-08-20 toolchain (any backend, incl. pure XLA — live-set
+    correlated; batch<=2 is reliable, see NOTES-PERF "flow worker
+    crash"), and chunk=2 measured the same per-frame rate the unchunked
+    dispatch had before the regression (23.4 vs 24.6 ms/frame), so
+    chunking costs nothing.  FSGM_FLOW_CHUNK overrides the default 2;
+    a chunk that doesn't divide B is rounded down to one that does."""
+    import os
+    from fsgm_tpu.models.stereo import resolve_backend, _extract_major
+    backend = resolve_backend(backend)
+    b = imgs1.shape[0]
+    if chunk is None:
+        chunk = int(os.environ.get("FSGM_FLOW_CHUNK", "2"))
+    chunk = max(1, min(chunk, b))
+    while b % chunk:
+        chunk -= 1
+    return _flow_fsgm_batch_jit(imgs1, imgs2, params, backend, chunk,
+                                _extract_major(backend, default="1"))
+
+
 def flow_sequence(frames, params: FlowParams, backend: str = "xla",
                   track_params: FlowParams | None = None):
     """fSGM over a frame sequence with temporal priors.
