@@ -122,11 +122,15 @@ def extract_stereo_major(s_major: jnp.ndarray, s_invalid: int,
                          w_true: int | None = None,
                          with_sub: bool = True, with_rwta: bool = True,
                          row_block: int = 8,
-                         s_major2: jnp.ndarray | None = None):
-    """(H, L, W) S -> (d_int, s_m, s_0, s_p, d_right), each (H, w_true)
-    int32 (s_m/s_0/s_p None without with_sub; d_right None without
-    with_rwta).  Bit-identical to ext.wta / ext.neighborhood_of_min /
-    ext.wta_right_from_s on the transposed volume.
+                         s_major2: jnp.ndarray | None = None,
+                         h_true: int | None = None):
+    """(H, L, W) S -> (d_int, s_m, s_0, s_p, d_right), each
+    (h_true, w_true) int32 (s_m/s_0/s_p None without with_sub; d_right
+    None without with_rwta).  Bit-identical to ext.wta /
+    ext.neighborhood_of_min / ext.wta_right_from_s on the transposed
+    volume.  h_true: true row count when S carries the round-4 row pad
+    (cost_tr row-padded pipeline); pad rows are computed (they ride the
+    same grid) and sliced off with the lane pad.
 
     s_major2: optional second half-sum (the transposed horizontal-family
     S from aggregate_paths_tr(pair_out=True)) — may be LARGER than
@@ -138,6 +142,8 @@ def extract_stereo_major(s_major: jnp.ndarray, s_invalid: int,
     h, nl, w = s_major.shape
     if w_true is None:
         w_true = w
+    if h_true is None:
+        h_true = h
     assert (s_invalid << 8) < (1 << 31), s_invalid
     rb = row_block if h % row_block == 0 else 1
     paired = s_major2.shape[2] if s_major2 is not None else False
@@ -165,7 +171,7 @@ def extract_stereo_major(s_major: jnp.ndarray, s_invalid: int,
         out_specs=[spec] * n_out, out_shape=[shape] * n_out,
         compiler_params=cp, interpret=_interpret(),
     )(*args)
-    outs = [o[:, 0, :w_true] for o in outs]
+    outs = [o[:h_true, 0, :w_true] for o in outs]
     it = iter(outs)
     d_int = next(it)
     s_m, s_0, s_p = ((next(it), next(it), next(it)) if with_sub
