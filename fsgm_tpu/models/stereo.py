@@ -57,24 +57,32 @@ def _s_volume_tr(cen_l: jnp.ndarray, cen_r: jnp.ndarray, img: jnp.ndarray,
                                    cost_volume_stereo_major_cols)
     from fsgm_tpu.ops.pallas import aggregate_tr
     if pair_out and os.environ.get("FSGM_COST_KERNEL", "1") != "0":
-        # round-4: Pallas cost builders (ops/pallas/cost_tr.py) — the
+        # round-4: Pallas cost builder (ops/pallas/cost_tr.py) — the
         # trace showed the XLA build (128-way concat at 134 GB/s + 15
         # hamming fusions + transpose + pad) at ~29% of device time.
-        # cost_volume_hlw emits the ROW-PADDED (H', L, W) volume (pad
-        # rows neutral zero), which also lets the vertical sweeps run
-        # rb=8 row blocks instead of rb=1 at KITTI's H=375; the img is
-        # edge-padded to match (exact: pad-row L is 0 / discarded).
-        # Kernel-extract consumers slice rows back (h_true).
+        # cost_volume_wlh's incremental sublane shear emits the padded
+        # column-scan volume in ~0.1 ms/frame; the row-scan volume is
+        # ONE u8 transpose of it (the roll-shear cost_volume_hlw kernel
+        # measured 26 ms/dispatch vs ~6 for wlh+transpose —
+        # FSGM_COST_HLW=kernel pins it for A/B).  The whole vertical
+        # pipeline then runs ROW- and LANE-padded (H', L, W'): pad cost
+        # is neutral zero (sweeps cross it exactly / per-lane isolation
+        # — same argument as the horizontal pads), the vertical sweeps
+        # get rb=8 row blocks, and kernel extraction slices rows/lanes
+        # back (h_true/w_true).
         from fsgm_tpu.ops.pallas import cost_tr
-        cost_hlw = cost_tr.cost_volume_hlw(
-            cen_l, cen_r, params.max_disp, params.invalid_cost,
-            right_reference)
         cost_wlh = cost_tr.cost_volume_wlh(
             cen_l, cen_r, params.max_disp, params.invalid_cost,
             right_reference)
-        hp = cost_hlw.shape[0]
-        img_p = img if hp == img.shape[0] else jnp.pad(
-            img, ((0, hp - img.shape[0]), (0, 0)), mode="edge")
+        if os.environ.get("FSGM_COST_HLW", "transpose") == "kernel":
+            cost_hlw = cost_tr.cost_volume_hlw(
+                cen_l, cen_r, params.max_disp, params.invalid_cost,
+                right_reference)
+        else:
+            cost_hlw = jnp.transpose(cost_wlh, (2, 1, 0))
+        hp, wp = cost_hlw.shape[0], cost_hlw.shape[2]
+        img_p = jnp.pad(img, ((0, hp - img.shape[0]),
+                              (0, wp - img.shape[1])), mode="edge")
         return aggregate_tr.aggregate_paths_tr(
             cost_hlw, img_p, params.dirs, params.p1, params.p2,
             params.adaptive_p2, s_max=params.s_invalid,
@@ -169,7 +177,8 @@ def extract_disparity(s: jnp.ndarray, params: SGMParams,
 def extract_disparity_kernel(s_major: jnp.ndarray, params: SGMParams,
                              d_right: jnp.ndarray | None = None,
                              s_major2: jnp.ndarray | None = None,
-                             h_true: int | None = None) -> jnp.ndarray:
+                             h_true: int | None = None,
+                             w_true: int | None = None) -> jnp.ndarray:
     """Fused-kernel extraction: ONE Pallas pass over the label-major S
     yields WTA + the subpixel neighborhood + the sheared right-WTA
     (ops/pallas/extract_tr.py); the rest of the stage (parabola, LR,
@@ -181,8 +190,9 @@ def extract_disparity_kernel(s_major: jnp.ndarray, params: SGMParams,
     from fsgm_tpu.ops.pallas import extract_tr
     need_rwta = params.lr_check and d_right is None
     d_int, s_m, s_0, s_p, d_r = extract_tr.extract_stereo_major(
-        s_major, params.s_invalid, with_sub=params.subpixel,
-        with_rwta=need_rwta, s_major2=s_major2, h_true=h_true)
+        s_major, params.s_invalid, w_true=w_true,
+        with_sub=params.subpixel, with_rwta=need_rwta,
+        s_major2=s_major2, h_true=h_true)
     if need_rwta:
         d_right = d_r
     disp = d_int.astype(jnp.float32)
@@ -255,7 +265,7 @@ def _stereo_sgm_jit(img_l: jnp.ndarray, img_r: jnp.ndarray,
             return extract_disparity_kernel(
                 s_major, params, d_right=d_right,
                 s_major2=s_h_t if pair else None,
-                h_true=img_l.shape[0])
+                h_true=img_l.shape[0], w_true=img_l.shape[1])
         if extract_mode == "major":
             return extract_disparity_major(s_major, params, d_right=d_right)
         if (params.lr_check and d_right is None and rwta_pallas):
