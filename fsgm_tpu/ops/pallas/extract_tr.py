@@ -30,6 +30,48 @@ from fsgm_tpu.ops.pallas.aggregate_pallas import _interpret
 from fsgm_tpu.ops.pallas.aggregate_tr import sub_min
 
 
+KILL = 1 << 30   # wrap-killed element sentinel in diag_min_packed: must
+                 # exceed every real packed value ((s_invalid<<8)|255)
+
+
+def diag_min_packed(packed: jnp.ndarray, w: int) -> jnp.ndarray:
+    """min_d packed[d, x+d] as a FUSED shear+min slice-halving tree.
+
+    Invariant: after combining at sublane count n -> n/2 with shift
+    n/2, H[j][x] = min over the processed d-bits of packed[j+b, x+b].
+    Each level rolls only the top HALF of the current tile by n/2, so
+    total lane-shuffle traffic is W*(L-1) elements — ~log2(L)x less
+    than the shear-then-reduce form (7 full-tile rolls at L=128, which
+    the round-4 trace showed dominating the extraction kernel).
+
+    Wrapped lanes [W-m, W) after each roll are killed with KILL: a
+    wrapped element's final output column x = x' - d would be negative
+    (its remaining shift exceeds its current lane), so no valid result
+    is lost — and d=0 never rolls, so every real column keeps its
+    golden tie-break witness.  Exactness vs the unfused shear is pinned
+    by the parity tests (tests/unit/test_extract_major.py)."""
+    h = packed
+    n = h.shape[0]
+    while n > 1:
+        m = n // 2
+        rolled = pltpu.roll(h[m:], (-m) % w, 1)
+        lane_h = jax.lax.broadcasted_iota(jnp.int32, rolled.shape, 1)
+        rolled = jnp.where(lane_h >= w - m, KILL, rolled)
+        h = jnp.minimum(h[:m], rolled)
+        n = m
+    return h                                   # (1, W)
+
+
+def _rwta_row(v: jnp.ndarray, sub, lane, nl: int, w: int, w_true: int,
+              s_invalid: int) -> jnp.ndarray:
+    """(L, W) int32 S row -> (1, W) right-WTA disparity.  Source lanes
+    past the true width carry s_invalid WITH their d (golden tie rule:
+    an all-invalid column yields d=0)."""
+    v = jnp.where(lane >= w_true, s_invalid, v)
+    packed = (v << 8) | sub                    # tie -> smallest d
+    return diag_min_packed(packed, w) & 255
+
+
 def _make_rwta_kernel(nl: int, w: int, w_true: int, rb: int,
                       s_invalid: int):
     def kernel(s_ref, o_ref):
@@ -37,17 +79,8 @@ def _make_rwta_kernel(nl: int, w: int, w_true: int, rb: int,
         lane = jax.lax.broadcasted_iota(jnp.int32, (nl, w), 1)  # x
         for r in range(rb):
             v = s_ref[r].astype(jnp.int32)                      # (L, W)
-            # shear: v[d, x] <- S[d, x + d] via log2(L) masked rolls
-            k = 1
-            while k < nl:
-                rolled = pltpu.roll(v, (-k) % w, 1)
-                v = jnp.where((sub & k) != 0, rolled, v)
-                k *= 2
-            # x + d past the true width (incl. roll wrap and lane pad):
-            # s_invalid, exactly the XLA/golden validity rule
-            v = jnp.where(lane + sub >= w_true, s_invalid, v)
-            packed = (v << 8) | sub            # tie -> smallest d
-            o_ref[r] = sub_min(packed) & 255   # (1, W)
+            o_ref[r] = _rwta_row(v, sub, lane, nl, w, w_true,
+                                 s_invalid)
 
     return kernel
 
@@ -107,13 +140,8 @@ def _make_extract_kernel(nl: int, w: int, w_true: int, rb: int,
                 sm_ref[r] = sub_min(jnp.where(sub == d - 1, v, BIG))
                 sp_ref[r] = sub_min(jnp.where(sub == d + 1, v, BIG))
             if with_rwta:
-                k = 1
-                while k < nl:
-                    rolled = pltpu.roll(v, (-k) % w, 1)
-                    v = jnp.where((sub & k) != 0, rolled, v)
-                    k *= 2
-                v = jnp.where(lane + sub >= w_true, s_invalid, v)
-                r_ref[r] = sub_min((v << 8) | sub) & 255
+                r_ref[r] = _rwta_row(v, sub, lane, nl, w, w_true,
+                                     s_invalid)
 
     return kernel
 
