@@ -496,6 +496,28 @@ def cmd_scale_test(args) -> int:
     import subprocess
     import tempfile
 
+    if args.model:
+        # analytic comm-vs-compute projection (round-4 verdict item 6):
+        # measured per-row sweep time from the r4 trace + exact halo
+        # byte counts + public v5e ICI figures -> projected efficiency
+        # per chip count, for the KITTI frame and the 4K frame (the
+        # config ty-tiling exists for), exact and fast modes.  Frame-DP
+        # (the BASELINE multi-host axis) is communication-free per
+        # frame and projects at ~100% minus input scatter.
+        from fsgm_tpu.parallel.multihost import project_weak_scaling
+        rep = {
+            "kitti_375x1242": project_weak_scaling(h=375, w=1242),
+            "uhd_2160x3840": project_weak_scaling(h=2160, w=3840,
+                                                  batch=4),
+            "assumptions": {
+                "t_row_s": "r4 trace: vertical family 12.85ms/16fr/376rows",
+                "ici": "v5e ~45 GB/s/link one-way + 2us latency (public)",
+                "frame_dp": "communication-free per frame (~100%)",
+            },
+        }
+        print(json.dumps(rep, indent=1))
+        return 0
+
     worker = r'''
 import os, sys, time
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=%d"
@@ -685,6 +707,9 @@ def main(argv=None) -> int:
                     default=4)
     st.add_argument("--reps", type=int, default=3)
     st.add_argument("--port", type=int, default=29531)
+    st.add_argument("--model", action="store_true",
+                    help="print the analytic ICI comm-vs-compute "
+                         "projection instead of running processes")
     st.set_defaults(fn=cmd_scale_test)
 
     bp = sub.add_parser("bench", help="throughput harness")

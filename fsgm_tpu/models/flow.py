@@ -37,15 +37,18 @@ from fsgm_tpu.ops import extract as ext
 # --------------------------------------------------------------------------
 
 def downsample2x(img: jnp.ndarray) -> jnp.ndarray:
-    """2x2 box downsample, round-half-up: (a+b+c+d+2)//4; floor dims."""
-    h, w = img.shape
-    h2, w2 = h // 2, w // 2
-    x = img.astype(jnp.int32)
-    a = x[: 2 * h2: 2, : 2 * w2: 2]
-    b = x[: 2 * h2: 2, 1: 2 * w2: 2]
-    c = x[1: 2 * h2: 2, : 2 * w2: 2]
-    d = x[1: 2 * h2: 2, 1: 2 * w2: 2]
-    return ((a + b + c + d + 2) // 4).astype(img.dtype)
+    """2x2 box downsample, round-half-up: (a+b+c+d+2)//4; floor dims.
+
+    lax.reduce_window, NOT four stride-2 slices: the strided form lowers
+    to four lane-relayout gathers and measured 13x slower on TPU (6.4 vs
+    0.48 ms per 3-level KITTI pyramid, 2026-08-20 — the round-4 flow
+    trace showed the pyramid build at ~2 ms/frame).  Integer sum + same
+    rounding: bit-exact vs golden/flow.py::downsample2x."""
+    h2, w2 = img.shape[0] // 2, img.shape[1] // 2
+    s = jax.lax.reduce_window(
+        img[: 2 * h2, : 2 * w2].astype(jnp.int32), 0, jax.lax.add,
+        (2, 2), (2, 2), "VALID")
+    return ((s + 2) // 4).astype(img.dtype)
 
 
 def build_pyramid(img: jnp.ndarray, levels: int):
@@ -58,8 +61,12 @@ def build_pyramid(img: jnp.ndarray, levels: int):
 def upsample_flow_2x(flow: jnp.ndarray, out_h: int, out_w: int
                      ) -> jnp.ndarray:
     """Nearest-neighbor 2x upsample of (H, W, 2), values x2, edge-extended
-    to (out_h, out_w) for odd finer levels."""
-    up = jnp.repeat(jnp.repeat(flow, 2, axis=0), 2, axis=1) * 2.0
+    to (out_h, out_w) for odd finer levels.  broadcast_to+reshape, not
+    jnp.repeat (repeat lowers as concatenates; measured ~12% slower)."""
+    hh, ww, ch = flow.shape
+    up = jnp.broadcast_to(flow[:, None, :, None, :],
+                          (hh, 2, ww, 2, ch)).reshape(2 * hh, 2 * ww,
+                                                      ch) * 2.0
     h, w = up.shape[:2]
     if h < out_h:
         up = jnp.concatenate(
@@ -76,11 +83,9 @@ def downsample_flow_2x(flow: jnp.ndarray) -> jnp.ndarray:
     pyramid seeding (golden/flow.py mirrors)."""
     h, w = flow.shape[:2]
     h2, w2 = h // 2, w // 2
-    a = flow[: 2 * h2: 2, : 2 * w2: 2]
-    b = flow[: 2 * h2: 2, 1: 2 * w2: 2]
-    c = flow[1: 2 * h2: 2, : 2 * w2: 2]
-    d = flow[1: 2 * h2: 2, 1: 2 * w2: 2]
-    return (a + b + c + d) * 0.125
+    # reshape 2x2 blocks, not stride-2 slices (relayout; see downsample2x)
+    x = flow[: 2 * h2, : 2 * w2].reshape(h2, 2, w2, 2, flow.shape[2])
+    return x.sum(axis=(1, 3)) * 0.125
 
 
 # --------------------------------------------------------------------------
@@ -333,15 +338,26 @@ def _flow_level_pair(i1, i2, c1, c2, prior_f, prior_b,
     cen_b = jnp.stack([c2, c1])
     bu = jnp.stack([bu_f, bu_b])
     bv = jnp.stack([bv_f, bv_b])
-    s2 = jax.vmap(
-        lambda g, ca, cb, u, v: _level_s(g, ca, cb, u, v, params, backend,
-                                         is_coarsest, major, block_warp))(
-        guide, cen_a, cen_b, bu, bv)
+    # big levels run the pair SEQUENTIALLY (lax.map) instead of batch-2
+    # vmapped: identical math, but the two directions' label volumes are
+    # never live together — the 2026-08-20 TPU worker crashes on
+    # KITTI-batch/4K-size live sets (NOTES-PERF "flow worker crash"),
+    # and at these sizes the per-launch fixed cost the lockstep vmap
+    # amortizes is negligible anyway.
+    import os
+    serial = (i1.shape[0] * i1.shape[1] >
+              int(os.environ.get("FSGM_FLOW_PAIR_SERIAL_PIX", "2000000")))
+    vmap2 = jax.lax.map if serial else (
+        lambda f, xs: jax.vmap(lambda *a: f(a))(*xs))
+    s2 = vmap2(
+        lambda a: _level_s(a[0], a[1], a[2], a[3], a[4], params, backend,
+                           is_coarsest, major, block_warp),
+        (guide, cen_a, cen_b, bu, bv))
     if bwd_params == params:
         # identical extraction both ways (full/half modes): batch it too
-        fl2 = jax.vmap(
-            lambda s, u, v: _level_extract(s, u, v, params, major))(
-            s2, bu, bv)
+        fl2 = vmap2(
+            lambda a: _level_extract(a[0], a[1], a[2], params, major),
+            (s2, bu, bv))
         return fl2[0], fl2[1]
     flow_f = _level_extract(s2[0], bu_f, bv_f, params, major)
     flow_b = _level_extract(s2[1], bu_b, bv_b, bwd_params, major)
@@ -526,6 +542,16 @@ def flow_fsgm(img1: jnp.ndarray, img2: jnp.ndarray, params: FlowParams,
 def _flow_fsgm_batch_jit(imgs1, imgs2, params: FlowParams, backend: str,
                          chunk: int, extract_major: bool):
     b, h, w = imgs1.shape
+    if b == 1:
+        # no vmap wrapper at all: a unit-batch vmap of the 4K pipeline
+        # crashes the 2026-08-20 TPU worker where the plain call runs
+        flo, valid = _flow_fsgm_jit(imgs1[0], imgs2[0], params, backend,
+                                    None, extract_major)
+        return flo[None], valid[None]
+    # NOTE: chunk=1 keeps the unit vmap wrapper inside the lax.map — it
+    # measured FASTER than mapping the plain per-frame function (18.6 vs
+    # 20.2 ms/frame, 2026-08-20); only the b==1 whole-batch case above
+    # must avoid it (4K vmap-of-1 crashes the current TPU worker).
     one = jax.vmap(lambda u, v: _flow_fsgm_jit(u, v, params, backend,
                                                None, extract_major))
     if chunk >= b:
@@ -547,16 +573,20 @@ def flow_fsgm_batch(imgs1, imgs2, params: FlowParams,
     flow program crashes the TPU worker process outright as of the
     2026-08-20 toolchain (any backend, incl. pure XLA — live-set
     correlated; batch<=2 is reliable, see NOTES-PERF "flow worker
-    crash"), and chunk=2 measured the same per-frame rate the unchunked
-    dispatch had before the regression (23.4 vs 24.6 ms/frame), so
-    chunking costs nothing.  FSGM_FLOW_CHUNK overrides the default 2;
-    a chunk that doesn't divide B is rounded down to one that does."""
+    crash"), and chunking measures FASTER than the unchunked r3
+    dispatch ever did (chunk=1 with the reduce_window pyramid: 18.6
+    ms/frame vs 24.6) — the serial chunks lose no throughput.  Default
+    chunk=1: by 2026-08-20 afternoon even the chunk=2 program crashed
+    the worker (the regression's live-set threshold moved), and
+    chunk=1 is the fastest measured anyway.  FSGM_FLOW_CHUNK
+    overrides; a chunk that doesn't divide B is rounded down to one
+    that does."""
     import os
     from fsgm_tpu.models.stereo import resolve_backend, _extract_major
     backend = resolve_backend(backend)
     b = imgs1.shape[0]
     if chunk is None:
-        chunk = int(os.environ.get("FSGM_FLOW_CHUNK", "2"))
+        chunk = int(os.environ.get("FSGM_FLOW_CHUNK", "1"))
     chunk = max(1, min(chunk, b))
     while b % chunk:
         chunk -= 1
