@@ -331,8 +331,29 @@ def _s_volume_tr_batch(cen_l: jnp.ndarray, cen_r: jnp.ndarray,
     """Batched label-major S: vertical families vmapped per frame, the
     horizontal family lane-folded across the batch (its (W, L, H) layout
     has short H lanes; see aggregate_paths_tr_batch)."""
+    import os
     from fsgm_tpu.ops.cost import cost_volume_stereo_major
     from fsgm_tpu.ops.pallas import aggregate_tr
+    if pair_out and os.environ.get("FSGM_COST_KERNEL", "1") != "0":
+        # round-4 kernel cost build, batch form: ONE lane-folded Pallas
+        # wlh volume feeds the folded horizontal sweeps directly (no
+        # XLA pad+transpose fold), and the per-frame row/lane-padded
+        # vertical volumes are one u8 unfold-transpose of it.  Same
+        # neutral-zero-pad exactness as the single-frame path.
+        from fsgm_tpu.ops.pallas import cost_tr
+        b, h, w = imgs.shape
+        hp, wp = -(-h // 8) * 8, -(-w // 8) * 8
+        cwlh = cost_tr.cost_volume_wlh_batch(
+            cen_l, cen_r, params.max_disp, params.invalid_cost,
+            right_reference)
+        cost = jnp.transpose(cwlh.reshape(wp, params.max_disp, b, hp),
+                             (2, 3, 1, 0))          # (B, Hp, L, Wp)
+        imgs_p = jnp.pad(imgs, ((0, 0), (0, hp - h), (0, wp - w)),
+                         mode="edge")
+        return aggregate_tr.aggregate_paths_tr_batch(
+            cost, imgs_p, params.dirs, params.p1, params.p2,
+            params.adaptive_p2, s_max=params.s_invalid,
+            major_out=not pair_out, pair_out=pair_out, cost_bwlh=cwlh)
     cost = jax.vmap(lambda a, b: cost_volume_stereo_major(
         a, b, params.max_disp, params.invalid_cost, right_reference))(
         cen_l, cen_r)
@@ -369,7 +390,9 @@ def _stereo_sgm_batch_jit(imgs_l: jnp.ndarray, imgs_r: jnp.ndarray,
     def one(s, s2=None, dr=None):
         if extract_mode in ("kernel", "kernelm"):
             return extract_disparity_kernel(s, params, d_right=dr,
-                                            s_major2=s2)
+                                            s_major2=s2,
+                                            h_true=imgs_l.shape[1],
+                                            w_true=imgs_l.shape[2])
         if extract_mode == "major":
             return extract_disparity_major(s, params, d_right=dr)
         if params.lr_check and dr is None and rwta_pallas:

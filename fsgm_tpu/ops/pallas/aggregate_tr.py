@@ -573,7 +573,9 @@ def aggregate_paths_tr_batch(cost_bhlw: jnp.ndarray, imgs: jnp.ndarray,
                              label_ext: int | None = None,
                              s_max: int | None = None,
                              major_out: bool = False,
-                             pair_out: bool = False) -> jnp.ndarray:
+                             pair_out: bool = False,
+                             cost_bwlh: jnp.ndarray | None = None
+                             ) -> jnp.ndarray:
     """Batched aggregate_paths_tr with the HORIZONTAL family lane-folded.
 
     The horizontal-family sweeps run on the transposed (W, L, H) volume,
@@ -623,11 +625,18 @@ def aggregate_paths_tr_batch(cost_bhlw: jnp.ndarray, imgs: jnp.ndarray,
 
     if horiz:
         hp, wp = _pad8(h), _pad8(w)
-        # ONE u8 transpose pass: pad first so (3, 2, 0, 1) lands directly
-        # on the folded (W, L, B*Hp) layout
-        cb = jnp.pad(cost_bhlw,
-                     ((0, 0), (0, hp - h), (0, 0), (0, wp - w)))
-        cwlh = jnp.transpose(cb, (3, 2, 0, 1)).reshape(wp, nd, b * hp)
+        if cost_bwlh is not None:
+            # pre-built folded volume (cost_tr.cost_volume_wlh_batch) —
+            # no XLA pad+transpose fold pass at all
+            assert cost_bwlh.shape == (wp, nd, b * hp), (cost_bwlh.shape,
+                                                         (wp, nd, b * hp))
+            cwlh = cost_bwlh
+        else:
+            # ONE u8 transpose pass: pad first so (3, 2, 0, 1) lands
+            # directly on the folded (W, L, B*Hp) layout
+            cb = jnp.pad(cost_bhlw,
+                         ((0, 0), (0, hp - h), (0, 0), (0, wp - w)))
+            cwlh = jnp.transpose(cb, (3, 2, 0, 1)).reshape(wp, nd, b * hp)
         imgt = jnp.pad(imgs, ((0, 0), (0, hp - h), (0, wp - w)),
                        mode="edge")
         imgt = jnp.transpose(imgt, (2, 0, 1)).reshape(wp, b * hp)

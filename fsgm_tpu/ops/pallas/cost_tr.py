@@ -56,18 +56,24 @@ def _pad8(n: int) -> int:
 # --------------------------------------------------------------------------
 
 def _make_wlh_kernel(nd: int, hp: int, h_true: int, w_true: int, rb: int,
-                     words: int, invalid_cost: int, reverse: bool):
+                     words: int, invalid_cost: int, reverse: bool,
+                     hp_frame: int | None = None):
     """Grid step i processes rb canonical rows.  t_ref (words*nd, hp)
     scratch carries the sheared match-census window across steps (the
     grid is sequential on TPU).  Garbage sublanes are exactly the ones
     the d<=x (resp. x+d<w) validity mask overwrites, so no scratch
-    init is needed."""
-    n_steps_m1 = None  # filled by caller via closure on n_steps
+    init is needed.  hp_frame: per-frame lane stride when the lane axis
+    is a BATCH fold (B*Hp) — the h_true mask then applies per frame
+    (the shear itself has no cross-lane ops, so folding is exact)."""
+    if hp_frame is None:
+        hp_frame = hp
 
     def kernel(n_steps: int):
         def body(cl_ref, cr_ref, out_ref, t_ref):
             i = pl.program_id(0)
             lane = jax.lax.broadcasted_iota(jnp.int32, (nd, hp), 1)
+            if hp_frame != hp:
+                lane = lane % hp_frame
             sub = jax.lax.broadcasted_iota(jnp.int32, (nd, hp), 0)
             rows = range(rb - 1, -1, -1) if reverse else range(rb)
             for r in rows:
@@ -132,6 +138,48 @@ def cost_volume_wlh(cen_l: jnp.ndarray, cen_r: jnp.ndarray,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((wp, nd, hp), jnp.uint8),
         scratch_shapes=[pltpu.VMEM((words * nd, hp), jnp.uint32)],
+        interpret=_interpret(),
+    )(clt, crt)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def cost_volume_wlh_batch(cen_l: jnp.ndarray, cen_r: jnp.ndarray,
+                          max_disp: int, invalid_cost: int = 255,
+                          right_reference: bool = False,
+                          row_block: int = 8) -> jnp.ndarray:
+    """(B, H, W, words) u32 census pair -> (W', D, B*H') u8 batch
+    LANE-FOLDED column-scan volume: frame b's (W', D, H') volume sits at
+    lanes [b*H', (b+1)*H'), pad lanes zero.  The incremental sublane
+    shear has no cross-lane ops, so the fold is bit-exact per frame —
+    this feeds aggregate_paths_tr_batch's folded horizontal sweeps
+    directly, replacing the XLA pad+transpose fold of the row-scan
+    volume (r4 trace: 4.2 ms + 3.0 ms per 16-frame dispatch)."""
+    b, h, w, words = cen_l.shape
+    hp, wp = _pad8(h), _pad8(w)
+    nd = max_disp
+    rb = row_block
+    n_steps = wp // rb
+
+    def tpad(c):
+        c = jnp.pad(c, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+        return jnp.transpose(c, (3, 2, 0, 1)).reshape(words, wp, b * hp)
+    cen_ref, cen_match = ((cen_r, cen_l) if right_reference
+                          else (cen_l, cen_r))
+    clt, crt = tpad(cen_ref), tpad(cen_match)
+    reverse = bool(right_reference)
+    blk = (lambda i: (0, n_steps - 1 - i, 0)) if reverse \
+        else (lambda i: (0, i, 0))
+    kernel = _make_wlh_kernel(nd, b * hp, h, w, rb, words, invalid_cost,
+                              reverse, hp_frame=hp)(n_steps)
+    out_spec = pl.BlockSpec((rb, nd, b * hp),
+                            (lambda i: (n_steps - 1 - i, 0, 0)) if reverse
+                            else (lambda i: (i, 0, 0)))
+    return pl.pallas_call(
+        kernel, grid=(n_steps,),
+        in_specs=[pl.BlockSpec((words, rb, b * hp), blk)] * 2,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((wp, nd, b * hp), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((words * nd, b * hp), jnp.uint32)],
         interpret=_interpret(),
     )(clt, crt)
 

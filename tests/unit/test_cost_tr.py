@@ -69,3 +69,25 @@ def test_pipeline_kernel_cost_matches_xla_cost(monkeypatch):
     d_x = np.asarray(stereo_sgm(il, ir, params, "pallas_tr"))
     jax.clear_caches()
     assert (d_k == d_x).all()
+
+
+@pytest.mark.parametrize("h,w,d", [(40, 56, 16), (37, 53, 16)])
+def test_cost_wlh_batch_folded_exact(h, w, d):
+    """The batch lane-folded wlh volume == per-frame volumes side by
+    side (frame b at lanes [b*Hp, (b+1)*Hp))."""
+    import jax
+    b = 3
+    cls, crs = [], []
+    for s in range(b):
+        il, ir, _ = random_dot_stereo(h, w, d, seed=s)
+        cls.append(census_transform(jnp.asarray(il), (5, 5)))
+        crs.append(census_transform(jnp.asarray(ir), (5, 5)))
+    cl = jnp.stack(cls)
+    cr = jnp.stack(crs)
+    got = np.asarray(cost_tr.cost_volume_wlh_batch(cl, cr, d))
+    hp, wp = _pad8(h), _pad8(w)
+    assert got.shape == (wp, d, b * hp)
+    per = jax.vmap(lambda a, c: cost_tr.cost_volume_wlh(a, c, d))(cl, cr)
+    want = np.transpose(np.asarray(per), (1, 2, 0, 3)).reshape(
+        wp, d, b * hp)
+    assert (got == want).all()
