@@ -138,6 +138,8 @@ def cost_volume_wlh(cen_l: jnp.ndarray, cen_r: jnp.ndarray,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((wp, nd, hp), jnp.uint8),
         scratch_shapes=[pltpu.VMEM((words * nd, hp), jnp.uint32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=_interpret(),
     )(clt, crt)
 
@@ -180,6 +182,8 @@ def cost_volume_wlh_batch(cen_l: jnp.ndarray, cen_r: jnp.ndarray,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((wp, nd, b * hp), jnp.uint8),
         scratch_shapes=[pltpu.VMEM((words * nd, b * hp), jnp.uint32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=_interpret(),
     )(clt, crt)
 
