@@ -285,7 +285,37 @@ def _level_s(img1, cen1, cen2, base_u, base_v, params: FlowParams,
 def _level_extract(s, base_u, base_v, params: FlowParams,
                    major: bool = False):
     """WTA + optional subpixel refinement / median on an aggregated S
-    ((H, W, L) — or label-major (H, L, W) with major=True)."""
+    ((H, W, L) — or label-major (H, L, W) with major=True).
+
+    FSGM_FLOW_EXTRACT=kernel (label-major path only) runs the label-axis
+    reductions (argmin + the six subpixel neighbor selections) in ONE
+    fused Pallas pass over S (extract_tr.extract_flow_major) — a
+    round-4 NEGATIVE result kept opt-in: 21.1 vs 18.6 ms/frame at the
+    KITTI flow config (back-to-back, 2026-08-20).  XLA fuses the seven
+    one-hot reductions over the short 88-label axis better than the
+    per-row kernel loop at flow's narrow coarse-level widths — the
+    opposite verdict from stereo's 128-label, 1248-lane extraction.
+    Bit-exact either way (tests pin both)."""
+    import os
+    extw = params.window_extent
+    radius = params.search_radius
+    if major and os.environ.get("FSGM_FLOW_EXTRACT", "xla") == "kernel":
+        from fsgm_tpu.ops.pallas import extract_tr
+        l_int, ut, vt = extract_tr.extract_flow_major(
+            s, extw, with_sub=params.subpixel)
+        du = l_int % extw - radius
+        dv = l_int // extw - radius
+        u = (base_u + du).astype(jnp.float32)
+        v = (base_v + dv).astype(jnp.float32)
+        if params.subpixel:
+            u = u + _parabola(l_int % extw, *ut, extw)
+            v = v + _parabola(l_int // extw, *vt, extw)
+        flow = jnp.stack([u, v], axis=-1)
+        if params.median_filter:
+            flow = jnp.stack([ext.median_filter_3x3(flow[..., 0]),
+                              ext.median_filter_3x3(flow[..., 1])],
+                             axis=-1)
+        return flow
     _wta = wta_flow_major if major else wta_flow
     _sub = subpixel_flow_major if major else subpixel_flow
     du, dv, l_int = _wta(s, params.search_radius)

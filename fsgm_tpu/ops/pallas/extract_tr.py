@@ -233,3 +233,92 @@ def wta_right_major(s_major: jnp.ndarray, s_invalid: int,
         interpret=_interpret(),
     )(s_major)
     return out[:, 0, :w_true]
+
+
+# --------------------------------------------------------------------------
+# Fused FLOW extraction: WTA + the six subpixel neighbor selections over
+# the 2D label grid in ONE pass of label-major S (round 4)
+# --------------------------------------------------------------------------
+
+def _div_magic(e: int, max_l: int) -> tuple[int, int]:
+    """(m, s) with (l*m)>>s == l//e for all l in [0, max_l] — vector
+    integer division by the window extent without relying on Mosaic
+    legalizing a non-power-of-2 divide."""
+    for s in range(10, 28):
+        m = -(-(1 << s) // e)            # ceil(2^s / e)
+        if all((l * m) >> s == l // e for l in range(max_l + 1)):
+            return m, s
+    raise AssertionError(e)
+
+
+def _make_flow_extract_kernel(nl: int, w: int, rb: int, extw: int,
+                              with_sub: bool):
+    """Per row, one read of the (L, W) block yields packed WTA (argmin
+    label + value, smallest-label tie-break == jnp.argmin) and, with
+    with_sub, value selections at the six CLIPPED neighbor labels the
+    separable-parabola subpixel uses (models/flow.py::
+    subpixel_flow_major's sel(base±1)/sel(base±extw) with iuc/ivc
+    clipping reproduced bit-exactly).  No lane ops at all — the label
+    axis rides sublanes, so everything is slice-halving trees and
+    sublane masks."""
+    m, sh = _div_magic(extw, nl - 1)
+
+    def kernel(s_ref, *o_refs):
+        it = iter(o_refs)
+        l_ref = next(it)
+        if with_sub:
+            um_ref, u0_ref, up_ref = next(it), next(it), next(it)
+            vm_ref, v0_ref, vp_ref = next(it), next(it), next(it)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (nl, w), 0)
+        for r in range(rb):
+            v = s_ref[r].astype(jnp.int32)                   # (L, W)
+            packed = (v << 8) | sub
+            pm = sub_min(packed)                             # (1, W)
+            lab = pm & 255
+            l_ref[r] = lab
+            if with_sub:
+                iv = (lab * m) >> sh
+                iu = lab - iv * extw
+                iuc = jnp.clip(iu, 1, extw - 2)
+                ivc = jnp.clip(iv, 1, extw - 2)
+                base_u = iv * extw + iuc
+                base_v = ivc * extw + iu
+
+                def sel(target, o_ref):
+                    o_ref[r] = sub_min(jnp.where(sub == target, v, BIG))
+                sel(base_u - 1, um_ref)
+                sel(base_u, u0_ref)
+                sel(base_u + 1, up_ref)
+                sel(base_v - extw, vm_ref)
+                sel(base_v, v0_ref)
+                sel(base_v + extw, vp_ref)
+
+    return kernel
+
+
+def extract_flow_major(s_major: jnp.ndarray, extw: int,
+                       with_sub: bool = True, row_block: int = 8):
+    """(H, L, W) label-major flow S -> (l_int, (u_m, u_0, u_p),
+    (v_m, v_0, v_p)), each (H, W) int32 (neighbor triples None without
+    with_sub).  l_int bit-identical to jnp.argmin(s, axis=1); the
+    triples bit-identical to subpixel_flow_major's six sel() label
+    reductions — the XLA parabola/median stages consume them unchanged.
+    Pad label planes (nl > extw^2) are never minimal by the cost-pad
+    contract, same as the XLA argmin."""
+    h, nl, w = s_major.shape
+    rb = row_block if h % row_block == 0 else 1
+    kernel = _make_flow_extract_kernel(nl, w, rb, extw, with_sub)
+    n_out = 1 + (6 if with_sub else 0)
+    spec = pl.BlockSpec((rb, 1, w), lambda i: (i, 0, 0))
+    shape = jax.ShapeDtypeStruct((h, 1, w), jnp.int32)
+    cp = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+    outs = pl.pallas_call(
+        kernel, grid=(h // rb,),
+        in_specs=[pl.BlockSpec((rb, nl, w), lambda i: (i, 0, 0))],
+        out_specs=[spec] * n_out, out_shape=[shape] * n_out,
+        compiler_params=cp, interpret=_interpret(),
+    )(s_major)
+    outs = [o[:, 0, :] for o in outs]
+    if with_sub:
+        return outs[0], tuple(outs[1:4]), tuple(outs[4:7])
+    return outs[0], None, None

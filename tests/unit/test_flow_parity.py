@@ -266,3 +266,28 @@ def test_warp_census_blocked_matches_general():
         ok = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
         want = cen2[np.clip(yy, 0, h - 1), np.clip(xx, 0, w - 1)]
         np.testing.assert_array_equal(got[ok], want[ok])
+
+
+def test_flow_extract_kernel_matches_xla(monkeypatch):
+    """FSGM_FLOW_EXTRACT=kernel (the fused Pallas label-reduction pass,
+    an opt-in negative result) == the default XLA reductions, bit-exact
+    end-to-end."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from fsgm_tpu.params import FlowParams
+    from fsgm_tpu.models.flow import flow_fsgm
+    from fsgm_tpu.io.synthetic import constant_flow_pair
+
+    fp = FlowParams(search_radius=2, levels=3, p1=7, p2=100,
+                    fb_backward="half")
+    a, b, _ = constant_flow_pair(48, 72, 2, -1, seed=1)
+    a, b = jnp.asarray(a), jnp.asarray(b)
+    monkeypatch.setenv("FSGM_FLOW_EXTRACT", "kernel")
+    f1, v1 = flow_fsgm(a, b, fp, "pallas")
+    jax.clear_caches()           # env read at trace time
+    monkeypatch.setenv("FSGM_FLOW_EXTRACT", "xla")
+    f2, v2 = flow_fsgm(a, b, fp, "pallas")
+    jax.clear_caches()
+    assert (np.asarray(f1) == np.asarray(f2)).all()
+    assert (np.asarray(v1) == np.asarray(v2)).all()
