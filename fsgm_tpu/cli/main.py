@@ -598,6 +598,16 @@ def cmd_bench(args) -> int:
         env["FSGM_BENCH_BACKEND"] = args.backend
     if args.batch:
         env["FSGM_BENCH_BATCH"] = str(args.batch)
+    if args.config:
+        env["FSGM_BENCH_CONFIG"] = args.config
+    if args.trace:
+        # capture a jax.profiler device trace of one salted dispatch;
+        # inspect with `python tools/traceview.py <dir>` (SURVEY §5)
+        env["FSGM_BENCH_TRACE"] = args.trace
+    if args.stages:
+        env["FSGM_BENCH_STAGES"] = "1"
+    if args.guard:
+        env["FSGM_BENCH_GUARD"] = "1"
     return subprocess.call([sys.executable,
                             str(Path(__file__).resolve().parents[2]
                                 / "bench.py")], env=env)
@@ -716,6 +726,17 @@ def main(argv=None) -> int:
     bp.add_argument("--backend", default="auto",
                     choices=["auto", "xla", "pallas"])
     bp.add_argument("--batch", type=int)
+    bp.add_argument("--config",
+                    choices=["kitti", "tsukuba", "kitti16", "4k",
+                             "flow", "4kflow"])
+    bp.add_argument("--trace", metavar="DIR",
+                    help="profiler trace of one dispatch into DIR "
+                         "(view: tools/traceview.py)")
+    bp.add_argument("--stages", action="store_true",
+                    help="per-stage roofline table (stereo configs)")
+    bp.add_argument("--guard", action="store_true",
+                    help="exit non-zero on ms/frame regression vs "
+                         "bench_history.json")
     bp.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)
