@@ -351,10 +351,13 @@ def main() -> None:
         # backward pyramid at half resolution, full extraction at every
         # backward level — validity within ~5 points of the full backward
         # on synthetic GT, tools/fb_accuracy.py, at a quarter of the
-        # backward aggregation work).  fb_grid='half' measured SLOWER at
-        # KITTI size (28.7/29.5 vs 26.8 ms/frame, batch 8, 2026-08-19)
-        # despite quartering the gather; accuracy-neutral knob kept for
-        # study via FSGM_BENCH_FBGRID.
+        # backward aggregation work).  fb_grid='half' (each half-grid
+        # verdict covers its 2x2 block): quarter-size FB gather, and
+        # accuracy-neutral-or-better on synthetic GT (fb_accuracy.py
+        # 2026-08-20: Fl 16.75 vs 17.01).  It measured SLOWER in r3
+        # (28.7 vs 26.8 ms/frame) but the round-4 reduce_window pyramid
+        # fix flipped it: 16.24 vs 18.56 — now the preset default;
+        # FSGM_BENCH_FBGRID=full pins the old mode.
         fparams = bench_params(cfg)
         pairs = [constant_flow_pair(h, w, 3, -2, seed=s)
                  for s in range(batch)]

@@ -48,9 +48,9 @@ def test_all_presets_decode():
     ("4k", SGMParams(max_disp=128, p1=7, p2=100, num_paths=8,
                      subpixel=True, lr_check=True, median_filter=True)),
     ("flow", FlowParams(search_radius=4, levels=4, p1=7, p2=100,
-                        fb_backward="half", fb_grid="full")),
+                        fb_backward="half", fb_grid="half")),
     ("4kflow", FlowParams(search_radius=4, levels=5, p1=7, p2=100,
-                          fb_backward="half", fb_grid="full")),
+                          fb_backward="half", fb_grid="half")),
 ])
 def test_bench_params_match_presets(cfg, expected, monkeypatch):
     """bench_params(cfg) == the params the bench/PARITY tables describe.
