@@ -350,7 +350,7 @@ def _flow_one_level(img1, img2, prior_flow, params: FlowParams,
 def _flow_level_pair(i1, i2, c1, c2, prior_f, prior_b,
                      params: FlowParams, bwd_params: FlowParams,
                      backend: str, is_coarsest: bool, major: bool = False,
-                     block_warp: bool = False):
+                     block_warp: bool = False, pair_serial: bool = False):
     """One pyramid level of the forward AND backward passes as a single
     batch-2 vmap: the per-launch fixed cost of the cost-build / transpose /
     sweep kernels dominates the coarse levels (measured ~4 ms/level at
@@ -368,15 +368,19 @@ def _flow_level_pair(i1, i2, c1, c2, prior_f, prior_b,
     cen_b = jnp.stack([c2, c1])
     bu = jnp.stack([bu_f, bu_b])
     bv = jnp.stack([bv_f, bv_b])
-    # big levels run the pair SEQUENTIALLY (lax.map) instead of batch-2
-    # vmapped: identical math, but the two directions' label volumes are
-    # never live together — the 2026-08-20 TPU worker crashes on
-    # KITTI-batch/4K-size live sets (NOTES-PERF "flow worker crash"),
-    # and at these sizes the per-launch fixed cost the lockstep vmap
-    # amortizes is negligible anyway.
+    # big FRAMES run every level's pair SEQUENTIALLY (lax.map) instead
+    # of batch-2 vmapped: identical math, but the two directions'
+    # volumes are never live together — the 2026-08-20 TPU worker
+    # crashes on 4K flow programs with ANY lockstep level (even the
+    # tiny coarsest one — the trigger is program-structure/live-set,
+    # not one level's size), and serialized 4K also measures FASTER
+    # (382 vs 420 ms/frame).  Small frames keep the lockstep (worth
+    # ~1 ms/frame at KITTI, 15.6 vs 16.8).  The gate is the FINEST
+    # level's pixel count, threaded down as `pair_serial`; default
+    # threshold 2M pixels (KITTI 0.45M < 2M < 4K 8.3M),
+    # FSGM_FLOW_PAIR_SERIAL_PIX overrides.
     import os
-    serial = (i1.shape[0] * i1.shape[1] >
-              int(os.environ.get("FSGM_FLOW_PAIR_SERIAL_PIX", "2000000")))
+    serial = pair_serial
     vmap2 = jax.lax.map if serial else (
         lambda f, xs: jax.vmap(lambda *a: f(a))(*xs))
     s2 = vmap2(
@@ -444,6 +448,10 @@ def _fsgm_flow_both(pyr1, pyr2, cens1, cens2, params: FlowParams,
     resolution).  `init_flow` (coarsest scale) seeds the forward pyramid
     and its negation the backward pyramid (temporal prior)."""
     shape_c = pyr1[-1].shape
+    import os
+    pair_serial = (pyr1[0].shape[0] * pyr1[0].shape[1] >
+                   int(os.environ.get("FSGM_FLOW_PAIR_SERIAL_PIX",
+                                      "2000000")))
     if init_flow is None:
         flow_f = jnp.zeros(shape_c + (2,), dtype=jnp.float32)
         flow_b = jnp.zeros(shape_c + (2,), dtype=jnp.float32)
@@ -461,7 +469,8 @@ def _fsgm_flow_both(pyr1, pyr2, cens1, cens2, params: FlowParams,
             bp = bwd_final_params if lvl == bwd_stop else params
             flow_f, flow_b = _flow_level_pair(
                 i1, i2, cens1[lvl], cens2[lvl], flow_f, flow_b,
-                params, bp, backend, is_c, major, block_warp=below_top)
+                params, bp, backend, is_c, major, block_warp=below_top,
+                pair_serial=pair_serial)
         else:
             flow_f = _flow_one_level(i1, i2, flow_f, params, backend,
                                      is_coarsest=is_c,
