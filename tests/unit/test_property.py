@@ -93,3 +93,61 @@ def test_median_matches_golden(h, w, seed):
     np.testing.assert_array_equal(
         np.asarray(ext.median_filter_3x3(jnp.asarray(f))),
         g.median_filter_3x3(f))
+
+
+@given(st.integers(6, 40), st.integers(6, 40),
+       st.sampled_from([4, 8, 16]), st.booleans(),
+       st.integers(0, 2 ** 16))
+@SET
+def test_cost_tr_kernels_match_xla_builder(h, w, d, rr, seed):
+    """Pallas cost builders (ops/pallas/cost_tr) == the golden-verified
+    XLA builder for random shapes, both references (round 4)."""
+    from fsgm_tpu.io.synthetic import random_dot_stereo
+    from fsgm_tpu.ops.census import census_transform
+    from fsgm_tpu.ops import cost as costmod
+    from fsgm_tpu.ops.pallas import cost_tr
+
+    il, ir, _ = random_dot_stereo(h, w, d, seed=seed)
+    cl = census_transform(jnp.asarray(il), (5, 5))
+    cr = census_transform(jnp.asarray(ir), (5, 5))
+    ref = np.asarray(costmod.cost_volume_stereo_major(
+        cl, cr, d, right_reference=rr))
+    hp, wp = -(-h // 8) * 8, -(-w // 8) * 8
+    got_h = np.asarray(cost_tr.cost_volume_hlw(cl, cr, d, 255, rr))
+    assert (got_h[:h] == ref).all() and (got_h[h:] == 0).all()
+    got_w = np.asarray(cost_tr.cost_volume_wlh(cl, cr, d, 255, rr))
+    want = np.zeros((wp, d, hp), np.uint8)
+    want[:w, :, :h] = ref.transpose(2, 1, 0)
+    assert (got_w == want).all()
+
+
+@given(st.integers(8, 40), st.sampled_from([8, 16, 32]),
+       st.integers(0, 2 ** 16))
+@SET
+def test_diag_min_matches_reference_shear(w, nl, seed):
+    """extract_tr.diag_min_packed (the fused shear+min tree) == the
+    plain sheared-argmin reference for random volumes incl. ties
+    (round 4; the wrap-kill argument in its docstring, verified)."""
+    import jax
+    from jax.experimental import pallas as pl
+    from fsgm_tpu.ops.pallas import extract_tr
+
+    rng = np.random.default_rng(seed)
+    v = rng.integers(0, 2 ** 20, (nl, w)).astype(np.int32)
+    packed = (v << 8) | np.arange(nl, dtype=np.int32)[:, None]
+
+    def kernel(p_ref, o_ref):
+        o_ref[...] = extract_tr.diag_min_packed(p_ref[...], w)
+
+    got = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, w), jnp.int32),
+        interpret=True,
+    )(jnp.asarray(packed))
+    # reference: explicit shear with out-of-range -> KILL
+    ref = np.full(w, extract_tr.KILL, np.int64)
+    for x in range(w):
+        for dd in range(nl):
+            if x + dd < w:
+                ref[x] = min(ref[x], packed[dd, x + dd])
+    assert (np.asarray(got)[0] == ref).all()
