@@ -150,10 +150,33 @@ def _make_tr_kernel(dirs, nd: int, w: int, rb: int, reverse: bool,
             c_ref, p2e_ref, s_ref, s_out_ref, carry_ref = refs
         i = pl.program_id(0)
 
+        # ady=2 (knight) carries: PARITY slots instead of a per-row
+        # shift-down copy (round 4) — row g's 2-back predecessor L(g-2)
+        # (L(g+2) reversed) shares g's parity, so slot o + (g & 1) is
+        # read-then-overwritten in place, deleting one (nd, w) VMEM
+        # copy per knight direction per row on the throughput-bound
+        # sweeps.  Needs rb even so g & 1 == r & 1 is static; the
+        # EXTERNAL carry format stays (latest, previous) — forward
+        # scans swap at the edges (L(-1) has parity 1), reverse scans
+        # map straight (L(H') has parity 0 for even H').
+        parity = rb % 2 == 0
+
         @pl.when(i == 0)
         def _():
             if with_carry:
-                carry_ref[...] = cin_ref[...].astype(carry_ref.dtype)
+                if parity and not reverse:
+                    for k, (ady, _dx) in enumerate(dirs):
+                        o = offs[k]
+                        if ady == 2:
+                            carry_ref[o] = cin_ref[o + 1].astype(
+                                carry_ref.dtype)
+                            carry_ref[o + 1] = cin_ref[o].astype(
+                                carry_ref.dtype)
+                        else:
+                            carry_ref[o] = cin_ref[o].astype(
+                                carry_ref.dtype)
+                else:
+                    carry_ref[...] = cin_ref[...].astype(carry_ref.dtype)
             else:
                 carry_ref[...] = jnp.zeros(carry_ref.shape, carry_ref.dtype)
 
@@ -169,7 +192,9 @@ def _make_tr_kernel(dirs, nd: int, w: int, rb: int, reverse: bool,
             cost = c_ref[r].astype(cdt)
             for k, (ady, dx) in enumerate(dirs):
                 o = offs[k]
-                prev = carry_ref[o + ady - 1].astype(cdt)
+                slot = (o + (r & 1) if ady == 2 and parity
+                        else o + ady - 1)
+                prev = carry_ref[slot].astype(cdt)
                 m = sub_min(prev)                         # (1, w)
                 # min commutes with the masked shift (mask value INF is
                 # absorbed), so pre-minimizing prev with its neighbor term
@@ -185,16 +210,33 @@ def _make_tr_kernel(dirs, nd: int, w: int, rb: int, reverse: bool,
                 # where x-dx is outside, cand=m=INF -> l = cost
                 # (+INF-INF): the golden edge rule, mask-free
                 l = cost + best - m
-                if ady == 2:
-                    carry_ref[o + 1] = carry_ref[o]
-                carry_ref[o] = l.astype(carry_dt)
+                if ady == 2 and parity:
+                    carry_ref[o + (r & 1)] = l.astype(carry_dt)
+                else:
+                    if ady == 2:
+                        carry_ref[o + 1] = carry_ref[o]
+                    carry_ref[o] = l.astype(carry_dt)
                 acc = l if acc is None else acc + l
             s_out_ref[r] = acc.astype(s_dtype)
 
         if with_carry:
             @pl.when(i == n_steps - 1)
             def _():
-                cout_ref[...] = carry_ref[...].astype(cout_ref.dtype)
+                if parity and not reverse:
+                    # back to the external (latest, previous) layout:
+                    # the last processed row H'-1 has parity 1
+                    for k, (ady, _dx) in enumerate(dirs):
+                        o = offs[k]
+                        if ady == 2:
+                            cout_ref[o] = carry_ref[o + 1].astype(
+                                cout_ref.dtype)
+                            cout_ref[o + 1] = carry_ref[o].astype(
+                                cout_ref.dtype)
+                        else:
+                            cout_ref[o] = carry_ref[o].astype(
+                                cout_ref.dtype)
+                else:
+                    cout_ref[...] = carry_ref[...].astype(cout_ref.dtype)
 
     return kernel, n_units
 
