@@ -202,6 +202,9 @@ def cmd_serve(args) -> int:
     Request:  {"task": "stereo"|"flow", "id": any,
                "left"/"right" | "first"/"second": image paths,
                "out": output path}
+              or {"task": "stereo_batch"|"flow_batch",
+                  "pairs": [[a, b, out], ...]} — same-shape pairs run
+              as ONE batched device dispatch
     Response: {"id", "out", "wall_s", "valid_frac"?} or {"id", "error"}.
     A blank line or EOF ends the loop.  Ordering is preserved; responses
     are flushed per request so a driving process can pipeline."""
@@ -257,6 +260,33 @@ def cmd_serve(args) -> int:
                     outs.append(str(o))
                     dens.append(round(float((dsp >= 0).mean()), 4))
                 resp = {"id": rid, "outs": outs, "density": dens}
+            elif req["task"] == "flow_batch":
+                # {"task": "flow_batch", "pairs": [[i1, i2, out], ...]}:
+                # same-shape pairs in ONE dispatch via flow_fsgm_batch
+                # (chunked internally; bit-identical to single requests)
+                from fsgm_tpu.models.flow import flow_fsgm_batch
+                pairs = [(load_gray(a), load_gray(b), o)
+                         for a, b, o in req["pairs"]]
+                shapes = {p[0].shape for p in pairs}
+                if len(shapes) != 1:
+                    raise ValueError(
+                        f"flow_batch needs same-shape pairs, got "
+                        f"{sorted(shapes)}")
+                flows, valids = flow_fsgm_batch(
+                    jnp.asarray(np.stack([p[0] for p in pairs])),
+                    jnp.asarray(np.stack([p[1] for p in pairs])), fp, be)
+                flows, valids = np.asarray(flows), np.asarray(valids)
+                outs, vfs = [], []
+                for (_, _, o), fl, va in zip(pairs, flows, valids):
+                    o = Path(o)
+                    if o.suffix == ".flo":
+                        kitti.write_flo(o, np.where(va[..., None], fl, 0))
+                    else:
+                        kitti.write_flow_png(
+                            o, np.where(va[..., None], fl, 0), va)
+                    outs.append(str(o))
+                    vfs.append(round(float(va.mean()), 4))
+                resp = {"id": rid, "outs": outs, "valid_frac": vfs}
             else:
                 i1 = load_gray(req["first"])
                 i2 = load_gray(req["second"])
