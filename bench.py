@@ -158,17 +158,8 @@ def _stage_roofline(params, h, w, d, backend, iters=32) -> None:
                                   params.invalid_cost)
 
     def agg_family(cost_v, img_v, which):
-        if backend == "pallas_tr":
-            # transposed-layout sweeps: feed the label-major volume (the
-            # per-stage transpose is counted in — it is part of the real
-            # pipeline's cost-build in this layout)
-            from fsgm_tpu.ops.pallas import aggregate_tr as ptr
-            fams = {"down": [r for r in params.dirs if r[0] > 0],
-                    "up": [r for r in params.dirs if r[0] < 0],
-                    "cols": [r for r in params.dirs if r[0] == 0]}[which]
-            return ptr.aggregate_paths_tr(
-                jnp.transpose(cost_v, (0, 2, 1)), img_v, fams, params.p1,
-                params.p2, params.adaptive_p2, s_max=params.s_invalid)
+        # xla / lane-major backends only; the pallas_tr stages below
+        # mirror the real round-4 pipeline instead
         if backend == "pallas":
             from fsgm_tpu.ops.pallas import aggregate_pallas as pagg
             costp, imgp = pagg.pad_inputs(cost_v, img_v)
@@ -204,21 +195,6 @@ def _stage_roofline(params, h, w, d, backend, iters=32) -> None:
                             params.max_disp)
         return ext.median_filter_3x3(disp)
 
-    def extract_stage_major(s_m):
-        # the ACTUAL pallas_tr extraction path (fused kernel on label-
-        # major S; models/stereo.py::extract_disparity_kernel)
-        from fsgm_tpu.ops.pallas import extract_tr
-        d_int, s_mn, s_0, s_p, d_r = extract_tr.extract_stereo_major(
-            s_m, params.s_invalid)
-        disp = ext.subpixel_from_neighborhood(d_int, s_mn, s_0, s_p,
-                                              s_m.shape[1])
-        disp = ext.lr_check(disp, d_r, params.lr_max_diff,
-                            params.max_disp)
-        return ext.median_filter_3x3(disp)
-
-    cost0 = cost_of(il, ir)
-    s0 = agg_family(cost0, il, "down").astype(s_dtype)[:, :w]
-
     def loop(body):
         @jax.jit
         def run(salt, *args):
@@ -228,32 +204,96 @@ def _stage_roofline(params, h, w, d, backend, iters=32) -> None:
             return jax.lax.fori_loop(0, iters, it, jnp.float32(0))
         return run
 
-    stages = {
-        "census_cost": (loop(lambda s8, a, b:
-                             jnp.sum(cost_of(a + s8, b + s8),
-                                     dtype=jnp.float32)),
-                        (il, ir), model["cost"]),
-        "agg_down": (loop(lambda s8, c, g: jnp.sum(
-            agg_family(jnp.clip(c + s8 % 3, 0, 255).astype(jnp.uint8),
-                       g, "down").astype(jnp.float32))),
-            (cost0, il), fam_bytes),
-        "agg_up": (loop(lambda s8, c, g: jnp.sum(
-            agg_family(jnp.clip(c + s8 % 3, 0, 255).astype(jnp.uint8),
-                       g, "up").astype(jnp.float32))),
-            (cost0, il), fam_bytes),
-        "agg_cols": (loop(lambda s8, c, g: jnp.sum(
-            agg_family(jnp.clip(c + s8 % 3, 0, 255).astype(jnp.uint8),
-                       g, "cols").astype(jnp.float32))),
-            (cost0, il), 2 * fam_bytes),
-        "extract": (loop(lambda s8, s_v: jnp.sum(
-            extract_stage(s_v + s8.astype(s_dtype)))),
-            (s0,), model["extract"]),
-    }
     if backend == "pallas_tr":
-        s0m = jnp.transpose(s0, (0, 2, 1))
-        stages["extract"] = (loop(lambda s8, s_m: jnp.sum(
-            extract_stage_major(s_m + s8.astype(s_dtype)))),
-            (s0m,), model["extract"])
+        # Mirror the REAL round-4 pipeline (models/stereo.py pair path):
+        # incremental-shear wlh cost kernel + u8 transpose to the padded
+        # row-scan volume; fresh first-family sweeps; accumulate second
+        # families; fused paired extraction incl. the s_h transpose.
+        from fsgm_tpu.ops.pallas import cost_tr
+        from fsgm_tpu.ops.pallas import aggregate_tr as ptr
+        from fsgm_tpu.models.stereo import extract_disparity_kernel
+        hp, wp = -(-h // 8) * 8, -(-w // 8) * 8
+        down = [r for r in params.dirs if r[0] > 0]
+        up = [r for r in params.dirs if r[0] < 0]
+        fwd = [(dx, 0) for dy, dx in params.dirs if dy == 0 and dx > 0]
+        bwd = [(dx, 0) for dy, dx in params.dirs if dy == 0 and dx < 0]
+
+        def cost_build(a, b):
+            cl = census_transform(a, params.census_window)
+            cr = census_transform(b, params.census_window)
+            cwlh = cost_tr.cost_volume_wlh(cl, cr, params.max_disp,
+                                           params.invalid_cost)
+            return cwlh, jnp.transpose(cwlh, (2, 1, 0))
+        cwlh0, chlw0 = cost_build(il, ir)
+        img_p = jnp.pad(il, ((0, hp - h), (0, wp - w)), mode="edge")
+        imgt0 = img_p.T
+
+        def sweep(c, g, fams, s, fresh):
+            if fresh:
+                return ptr.tr_family_sweep(c, g, fams, params.p1,
+                                           params.p2, params.adaptive_p2,
+                                           None, None, out_dtype=s_dtype)
+            return ptr.tr_family_sweep(c, g, fams, params.p1, params.p2,
+                                       params.adaptive_p2, s, None)
+        s_v0 = sweep(chlw0, img_p, down, None, True)
+        s_h0 = sweep(cwlh0, imgt0, fwd, None, True)
+        s_h_t0 = jnp.transpose(sweep(cwlh0, imgt0, bwd, s_h0, False),
+                               (2, 1, 0))
+
+        def salted(c, s8):
+            return jnp.clip(c + s8 % 3, 0, 255).astype(jnp.uint8)
+        stages = {
+            # kernel build of the column volume + the u8 transpose that
+            # derives the padded row volume (the real r4 build)
+            "census_cost": (loop(lambda s8, a, b: sum(
+                jnp.sum(v, dtype=jnp.float32)
+                for v in cost_build(a + s8, b + s8))),
+                (il, ir), 4 * vol),
+            "agg_down": (loop(lambda s8, c, g: jnp.sum(
+                sweep(salted(c, s8), g, down, None, True)
+                .astype(jnp.float32))),
+                (chlw0, img_p), fam_bytes),
+            "agg_up": (loop(lambda s8, c, g, s: jnp.sum(
+                sweep(salted(c, s8), g, up, s, False)
+                .astype(jnp.float32))),
+                (chlw0, img_p, s_v0), fam_bytes),
+            # fwd fresh + bwd accumulate + the s_h transpose back to
+            # row-major (the real pipeline's copy)
+            "agg_cols": (loop(lambda s8, c, g: jnp.sum(jnp.transpose(
+                sweep(salted(c, s8), g, bwd,
+                      sweep(salted(c, s8), g, fwd, None, True), False),
+                (2, 1, 0)).astype(jnp.float32))),
+                (cwlh0, imgt0), 2 * fam_bytes + 4 * vol * s_item // 2),
+            "extract": (loop(lambda s8, s_v, s2: jnp.sum(
+                extract_disparity_kernel(
+                    s_v + s8.astype(s_dtype), params, s_major2=s2,
+                    h_true=h, w_true=w))),
+                (s_v0, s_h_t0), model["extract"]),
+        }
+    else:
+        cost0 = cost_of(il, ir)
+        s0 = agg_family(cost0, il, "down").astype(s_dtype)[:, :w]
+        stages = {
+            "census_cost": (loop(lambda s8, a, b:
+                                 jnp.sum(cost_of(a + s8, b + s8),
+                                         dtype=jnp.float32)),
+                            (il, ir), model["cost"]),
+            "agg_down": (loop(lambda s8, c, g: jnp.sum(
+                agg_family(jnp.clip(c + s8 % 3, 0, 255).astype(jnp.uint8),
+                           g, "down").astype(jnp.float32))),
+                (cost0, il), fam_bytes),
+            "agg_up": (loop(lambda s8, c, g: jnp.sum(
+                agg_family(jnp.clip(c + s8 % 3, 0, 255).astype(jnp.uint8),
+                           g, "up").astype(jnp.float32))),
+                (cost0, il), fam_bytes),
+            "agg_cols": (loop(lambda s8, c, g: jnp.sum(
+                agg_family(jnp.clip(c + s8 % 3, 0, 255).astype(jnp.uint8),
+                           g, "cols").astype(jnp.float32))),
+                (cost0, il), 2 * fam_bytes),
+            "extract": (loop(lambda s8, s_v: jnp.sum(
+                extract_stage(s_v + s8.astype(s_dtype)))),
+                (s0,), model["extract"]),
+        }
 
     timer = StageTimer()
     for name, (run, args, nbytes) in stages.items():
