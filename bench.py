@@ -307,7 +307,7 @@ def _stage_roofline(params, h, w, d, backend, iters=32) -> None:
     timer.print_report(file=sys.stderr)
 
 
-def _regression_guard(cfg: str, mpds: float, dt_s: float) -> None:
+def _regression_guard(cfg: str, dt_s: float) -> None:
     """Throughput regression guard (SURVEY.md §4 metrics tier: "benchmark
     harness asserts Mpixel*disp/s within tolerance of recorded baseline").
 
@@ -326,7 +326,7 @@ def _regression_guard(cfg: str, mpds: float, dt_s: float) -> None:
         with open(hist_path) as f:
             hist = json.load(f)
         entry = hist["configs"][cfg]
-    except (OSError, KeyError):
+    except (OSError, KeyError, ValueError):
         print(f"# guard: no recorded baseline for cfg={cfg}",
               file=sys.stderr)
         return
@@ -445,7 +445,7 @@ def main() -> None:
           f"platform={jax.devices()[0].platform} batch={batch} "
           f"frame={dt*1e3:.2f}ms fps={fps:.1f} compile={compile_s:.1f}s "
           f"vs_SoL={mpds / SOL_MPDS:.1%}", file=sys.stderr)
-    _regression_guard(cfg, mpds, dt)
+    _regression_guard(cfg, dt)
 
     trace_dir = os.environ.get("FSGM_BENCH_TRACE")
     if trace_dir:

@@ -83,9 +83,14 @@ def downsample_flow_2x(flow: jnp.ndarray) -> jnp.ndarray:
     pyramid seeding (golden/flow.py mirrors)."""
     h, w = flow.shape[:2]
     h2, w2 = h // 2, w // 2
-    # reshape 2x2 blocks, not stride-2 slices (relayout; see downsample2x)
+    # 2x2 blocks via reshape (stride-2 slices relayout; see downsample2x)
+    # but accumulated in golden's exact float order ((a+b)+c)+d — a
+    # .sum(axis=(1,3)) reassociates to (a+b)+(c+d), which can differ in
+    # the last ulp and flip a rint'd window center (bit-parity hazard)
     x = flow[: 2 * h2, : 2 * w2].reshape(h2, 2, w2, 2, flow.shape[2])
-    return x.sum(axis=(1, 3)) * 0.125
+    a, b = x[:, 0, :, 0], x[:, 0, :, 1]
+    c, d = x[:, 1, :, 0], x[:, 1, :, 1]
+    return (a + b + c + d) * 0.125
 
 
 # --------------------------------------------------------------------------
@@ -379,8 +384,8 @@ def _flow_level_pair(i1, i2, c1, c2, prior_f, prior_b,
     # level's pixel count, threaded down as `pair_serial`; default
     # threshold 2M pixels (KITTI 0.45M < 2M < 4K 8.3M),
     # FSGM_FLOW_PAIR_SERIAL_PIX overrides.
-    import os
     serial = pair_serial
+
     vmap2 = jax.lax.map if serial else (
         lambda f, xs: jax.vmap(lambda *a: f(a))(*xs))
     s2 = vmap2(

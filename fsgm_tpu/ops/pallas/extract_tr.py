@@ -44,21 +44,30 @@ def diag_min_packed(packed: jnp.ndarray, w: int) -> jnp.ndarray:
     than the shear-then-reduce form (7 full-tile rolls at L=128, which
     the round-4 trace showed dominating the extraction kernel).
 
-    Wrapped lanes [W-m, W) after each roll are killed with KILL: a
+    Wrapped lanes [W-q, W) after each roll are killed with KILL: a
     wrapped element's final output column x = x' - d would be negative
     (its remaining shift exceeds its current lane), so no valid result
     is lost — and d=0 never rolls, so every real column keeps its
     golden tie-break witness.  Exactness vs the unfused shear is pinned
-    by the parity tests (tests/unit/test_extract_major.py)."""
+    by the parity tests (tests/unit/test_extract_major.py).
+
+    Non-power-of-2 label counts use sub_min's OVERLAPPED halving
+    (a = ceil(n/2), 8-aligned above vreg height): combining j with
+    j + q at shift q = n - a preserves the invariant for any a >= q,
+    and duplicate coverage is harmless for a min."""
     h = packed
     n = h.shape[0]
     while n > 1:
-        m = n // 2
-        rolled = pltpu.roll(h[m:], (-m) % w, 1)
+        if n > 8:
+            a = -(-(-(-n // 2)) // 8) * 8
+        else:
+            a = -(-n // 2)
+        q = n - a
+        rolled = pltpu.roll(h[q:n], (-q) % w, 1)
         lane_h = jax.lax.broadcasted_iota(jnp.int32, rolled.shape, 1)
-        rolled = jnp.where(lane_h >= w - m, KILL, rolled)
-        h = jnp.minimum(h[:m], rolled)
-        n = m
+        rolled = jnp.where(lane_h >= w - q, KILL, rolled)
+        h = jnp.minimum(h[:a], rolled)
+        n = a
     return h                                   # (1, W)
 
 
@@ -172,7 +181,7 @@ def extract_stereo_major(s_major: jnp.ndarray, s_invalid: int,
         w_true = w
     if h_true is None:
         h_true = h
-    assert (s_invalid << 8) < (1 << 31), s_invalid
+    assert ((s_invalid << 8) | 255) < KILL, s_invalid
     rb = row_block if h % row_block == 0 else 1
     paired = s_major2.shape[2] if s_major2 is not None else False
     kernel = _make_extract_kernel(nl, w, w_true, rb, s_invalid,
@@ -218,7 +227,7 @@ def wta_right_major(s_major: jnp.ndarray, s_invalid: int,
     h, nl, w = s_major.shape
     if w_true is None:
         w_true = w
-    assert (s_invalid << 8) < (1 << 31), s_invalid
+    assert ((s_invalid << 8) | 255) < KILL, s_invalid
     rb = row_block if h % row_block == 0 else 1
     kernel = _make_rwta_kernel(nl, w, w_true, rb, s_invalid)
     # the output rides a (h, 1, w) carrier: a bare (rb, w) block would
@@ -306,6 +315,8 @@ def extract_flow_major(s_major: jnp.ndarray, extw: int,
     Pad label planes (nl > extw^2) are never minimal by the cost-pad
     contract, same as the XLA argmin."""
     h, nl, w = s_major.shape
+    assert nl <= 255, (nl, "labels must fit the 8-bit pack; use the "
+                           "XLA reductions for larger label grids")
     rb = row_block if h % row_block == 0 else 1
     kernel = _make_flow_extract_kernel(nl, w, rb, extw, with_sub)
     n_out = 1 + (6 if with_sub else 0)

@@ -101,7 +101,6 @@ def project_weak_scaling(h: int = 375, w: int = 1242, d: int = 128,
         # exact: per boundary, comm either hides under the next tile's
         # sweep or stalls the wave by (t_halo - t_tile)
         stall = max(0.0, t_halo - t_tile)
-        t_exact_frame = (t_tile + t_halo * 0) * n  # serial chain depth
         # batch pipelining: B frames, chain depth N => occupancy
         occupancy = batch / (batch + n - 1)
         eff_exact = occupancy * t_tile / (t_tile + stall)

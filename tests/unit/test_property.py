@@ -121,7 +121,7 @@ def test_cost_tr_kernels_match_xla_builder(h, w, d, rr, seed):
     assert (got_w == want).all()
 
 
-@given(st.integers(8, 40), st.sampled_from([8, 16, 32]),
+@given(st.integers(8, 40), st.sampled_from([3, 8, 16, 24, 32, 40]),
        st.integers(0, 2 ** 16))
 @SET
 def test_diag_min_matches_reference_shear(w, nl, seed):

@@ -60,9 +60,11 @@ def gather_major(cen_l, cen_r, max_disp, invalid_cost=255):
 
 
 def main():
-    h, w, d, iters = 375, 1242, 128, 16
-    if len(sys.argv) > 1:
-        h, w, d, iters = map(int, sys.argv[1:5])
+    # positional overrides: any PREFIX of [H W D iters] is accepted
+    vals = [375, 1242, 128, 16]
+    for i, arg in enumerate(sys.argv[1:5]):
+        vals[i] = int(arg)
+    h, w, d, iters = vals
     il, ir, _ = random_dot_stereo(h, w, d, seed=0)
     il, ir = jnp.asarray(il), jnp.asarray(ir)
     cl = census_transform(il, (5, 5))
