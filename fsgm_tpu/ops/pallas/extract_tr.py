@@ -9,14 +9,21 @@ wta 1.1 / subpixel 1.6 / lr 1.1 / median 0.9).
 This kernel reads the label-major (H, L, W) volume the transposed-layout
 sweeps already produce and computes the whole thing in one streaming pass:
 
-  * the diagonal becomes a SHEAR — shift sublane-plane d left by d lanes —
-    done as log2(L) masked lane rolls (roll by 2^k where sublane bit k is
-    set), all in VMEM;
-  * positions x+d outside the true image width get s_invalid (the pad
-    lanes and the roll wrap both land in that mask);
-  * argmin with smallest-index tie-break in ONE sublane slice-halving
-    tree over packed (S << 8 | d) — bit-identical to np.argmin on the
-    s_invalid-filled diagonal (ops/extract.py::wta_right_from_s).
+  * the diagonal shear is FUSED into the min tree (diag_min_packed):
+    each slice-halving level rolls only the top half of the shrinking
+    tile by its offset, ~log2(L)x less lane-shuffle traffic than
+    shear-then-reduce (the round-4 trace showed full-tile rolls
+    dominating extraction);
+  * positions x+d outside the true image width get s_invalid (pad-lane
+    pre-mask) or the KILL sentinel (roll wrap, provably only elements
+    whose output column would be negative);
+  * argmin with smallest-index tie-break rides packed (S << 8 | d) —
+    bit-identical to np.argmin on the s_invalid-filled diagonal
+    (ops/extract.py::wta_right_from_s).
+
+Also here: the fused stereo extraction kernel (WTA + subpixel
+neighborhood + right-WTA + the paired half-sum merge in one pass of
+label-major S) and the opt-in fused flow extraction kernel.
 """
 
 from __future__ import annotations
