@@ -291,3 +291,32 @@ def test_flow_extract_kernel_matches_xla(monkeypatch):
     jax.clear_caches()
     assert (np.asarray(f1) == np.asarray(f2)).all()
     assert (np.asarray(v1) == np.asarray(v2)).all()
+
+
+def test_flow_fsgm_batch_matches_stacked_singles(monkeypatch):
+    """flow_fsgm_batch == stacking flow_fsgm over the batch, for every
+    chunking regime (b==1 no-vmap path, chunked lax.map, whole-batch
+    vmap) — the worker-crash mitigation paths (NOTES-PERF) are
+    math-identical."""
+    import numpy as np
+    import jax.numpy as jnp
+    from fsgm_tpu.params import FlowParams
+    from fsgm_tpu.models.flow import flow_fsgm, flow_fsgm_batch
+    from fsgm_tpu.io.synthetic import constant_flow_pair
+
+    fp = FlowParams(search_radius=2, levels=2, p1=7, p2=100,
+                    fb_backward="half")
+    pairs = [constant_flow_pair(24, 40, 1, -1, seed=s) for s in range(3)]
+    a = jnp.asarray(np.stack([p[0] for p in pairs]))
+    b = jnp.asarray(np.stack([p[1] for p in pairs]))
+    ref_f, ref_v = zip(*[flow_fsgm(a[i], b[i], fp, "pallas")
+                         for i in range(3)])
+    ref_f = np.stack([np.asarray(x) for x in ref_f])
+    ref_v = np.stack([np.asarray(x) for x in ref_v])
+    for chunk in (1, 2, 3):
+        fl, va = flow_fsgm_batch(a, b, fp, "pallas", chunk=chunk)
+        assert (np.asarray(fl) == ref_f).all(), chunk
+        assert (np.asarray(va) == ref_v).all(), chunk
+    f1, v1 = flow_fsgm_batch(a[:1], b[:1], fp, "pallas")   # b==1 path
+    assert (np.asarray(f1)[0] == ref_f[0]).all()
+    assert (np.asarray(v1)[0] == ref_v[0]).all()

@@ -130,3 +130,20 @@ def test_batch_fold_gate_respects_total_lanes(monkeypatch):
     assert 64 * 288 > fold_max_total_lanes()
     monkeypatch.setenv("FSGM_FOLD_MAXTOTAL", "100")
     assert fold_max_total_lanes() == 100
+
+
+def test_scale_model_projection_schema():
+    """cli scale-test --model: the analytic ICI projection returns one
+    record per chip count with the documented fields, and the
+    BASELINE >=80% claim holds where PARITY.md says it does (4K fast
+    mode through 16 chips)."""
+    from fsgm_tpu.parallel.multihost import project_weak_scaling
+    for rows, kw in [(375, {}), (2160, dict(h=2160, w=3840, batch=4))]:
+        recs = project_weak_scaling(**kw)
+        assert [r["chips"] for r in recs] == [2, 4, 8, 16]
+        for r in recs:
+            assert 0 < r["eff_fast_pct"] <= 100
+            assert 0 < r["eff_exact_pct"] <= 100
+            assert r["halo_KB_per_family_boundary"] > 0
+    uhd = project_weak_scaling(h=2160, w=3840, batch=4)
+    assert all(r["eff_fast_pct"] >= 80 for r in uhd)
