@@ -2,6 +2,12 @@
 
 Two tiers:
   * `trace(dir)` — jax.profiler context producing a Perfetto/XProf trace.
+    Wired into the bench since round 4: `FSGM_BENCH_TRACE=<dir> python
+    bench.py` (or `cli bench --trace <dir>`) profiles one salted
+    dispatch; device events survive the axon relay intact (verified
+    2026-08-20), and `tools/traceview.py <dir>` prints the per-kernel
+    device-time / bytes / achieved-GB/s table.  This is the evidence
+    chain behind every round-4 optimization (NOTES-PERF "Round 4").
   * `StageTimer` — wall-clock per-stage timing with the relay-safe sync
     (fetch a scalar reduction computed in-jit; see bench.py), plus
     roofline accounting: achieved bytes/s vs the chip's HBM peak.
