@@ -441,10 +441,15 @@ def main() -> None:
            "unit": "Mpixel*disp/s",
            "vs_baseline": round(mpds / BASELINE_MPDS, 3)}
     print(json.dumps(rec))
+    # the SoL denominator is derived for 8-path STEREO byte traffic
+    # (SURVEY.md §7.4); flow's label-pixel rate against it is only an
+    # order-of-magnitude anchor, so the line says so (VERDICT r4 weak #5)
+    sol_tag = (" (stereo-derived SoL)" if cfg in ("flow", "4kflow")
+               else "")
     print(f"# cfg={cfg} backend={backend} "
           f"platform={jax.devices()[0].platform} batch={batch} "
           f"frame={dt*1e3:.2f}ms fps={fps:.1f} compile={compile_s:.1f}s "
-          f"vs_SoL={mpds / SOL_MPDS:.1%}", file=sys.stderr)
+          f"vs_SoL={mpds / SOL_MPDS:.1%}{sol_tag}", file=sys.stderr)
     _regression_guard(cfg, dt)
 
     trace_dir = os.environ.get("FSGM_BENCH_TRACE")

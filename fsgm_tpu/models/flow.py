@@ -292,7 +292,9 @@ def _level_extract(s, base_u, base_v, params: FlowParams,
     """WTA + optional subpixel refinement / median on an aggregated S
     ((H, W, L) — or label-major (H, L, W) with major=True).
 
-    FSGM_FLOW_EXTRACT=kernel (label-major path only) runs the label-axis
+    FSGM_FLOW_EXTRACT=kernel (label-major path only; read at TRACE time,
+    not a jit cache key — fresh process per A/B setting, see
+    aggregate_tr.fold_max_lanes) runs the label-axis
     reductions (argmin + the six subpixel neighbor selections) in ONE
     fused Pallas pass over S (extract_tr.extract_flow_major) — a
     round-4 NEGATIVE result kept opt-in: 21.1 vs 18.6 ms/frame at the
@@ -453,10 +455,9 @@ def _fsgm_flow_both(pyr1, pyr2, cens1, cens2, params: FlowParams,
     resolution).  `init_flow` (coarsest scale) seeds the forward pyramid
     and its negation the backward pyramid (temporal prior)."""
     shape_c = pyr1[-1].shape
-    import os
+    from fsgm_tpu.utils.envcfg import env_int
     pair_serial = (pyr1[0].shape[0] * pyr1[0].shape[1] >
-                   int(os.environ.get("FSGM_FLOW_PAIR_SERIAL_PIX",
-                                      "2000000")))
+                   env_int("FSGM_FLOW_PAIR_SERIAL_PIX", 2000000))
     if init_flow is None:
         flow_f = jnp.zeros(shape_c + (2,), dtype=jnp.float32)
         flow_b = jnp.zeros(shape_c + (2,), dtype=jnp.float32)
@@ -625,12 +626,12 @@ def flow_fsgm_batch(imgs1, imgs2, params: FlowParams,
     chunk=1 is the fastest measured anyway.  FSGM_FLOW_CHUNK
     overrides; a chunk that doesn't divide B is rounded down to one
     that does."""
-    import os
     from fsgm_tpu.models.stereo import resolve_backend, _extract_major
+    from fsgm_tpu.utils.envcfg import env_int
     backend = resolve_backend(backend)
     b = imgs1.shape[0]
     if chunk is None:
-        chunk = int(os.environ.get("FSGM_FLOW_CHUNK", "1"))
+        chunk = env_int("FSGM_FLOW_CHUNK", 1)
     chunk = max(1, min(chunk, b))
     while b % chunk:
         chunk -= 1

@@ -60,6 +60,10 @@ def _s_volume_tr(cen_l: jnp.ndarray, cen_r: jnp.ndarray, img: jnp.ndarray,
         # round-4: Pallas cost builder (ops/pallas/cost_tr.py) — the
         # trace showed the XLA build (128-way concat at 134 GB/s + 15
         # hamming fusions + transpose + pad) at ~29% of device time.
+        # NOTE: FSGM_COST_KERNEL (like FSGM_COST_HLW below and
+        # FSGM_TR_FRESH) is read at TRACE time and is not a jit cache
+        # key — A/B runs need a fresh process per setting
+        # (aggregate_tr.fold_max_lanes documents the shared caveat).
         # cost_volume_wlh's incremental sublane shear emits the padded
         # column-scan volume in ~0.1 ms/frame; the row-scan volume is
         # ONE u8 transpose of it (the roll-shear cost_volume_hlw kernel
@@ -232,6 +236,16 @@ def extract_disparity_major(s_major: jnp.ndarray, params: SGMParams,
     return disp
 
 
+def _has_both_families(params: SGMParams) -> bool:
+    """pair_out aggregation returns the (s_v, s_h_t) PAIR only when both
+    a vertical- and a horizontal-family direction are present; gating on
+    the actual family split (not a path count) keeps custom dirs sets —
+    e.g. 4+ all-vertical paths — on the single-volume path instead of a
+    trace-time unpack error (ADVICE r4)."""
+    return (any(dy != 0 for dy, _ in params.dirs)
+            and any(dy == 0 for dy, _ in params.dirs))
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def _stereo_sgm_jit(img_l: jnp.ndarray, img_r: jnp.ndarray,
                     params: SGMParams, backend: str,
@@ -251,7 +265,7 @@ def _stereo_sgm_jit(img_l: jnp.ndarray, img_r: jnp.ndarray,
         #   major  - XLA label-major extraction
         cen_l = census_transform(img_l, params.census_window)
         cen_r = census_transform(img_r, params.census_window)
-        pair = extract_mode == "kernel" and len(params.dirs) >= 4
+        pair = extract_mode == "kernel" and _has_both_families(params)
         if pair:
             s_major, s_h_t = _s_volume_tr(cen_l, cen_r, img_l, params,
                                           pair_out=True)
@@ -374,7 +388,7 @@ def _stereo_sgm_batch_jit(imgs_l: jnp.ndarray, imgs_r: jnp.ndarray,
             imgs_l, imgs_r)
     cen = jax.vmap(lambda x: census_transform(x, params.census_window))
     cen_l, cen_r = cen(imgs_l), cen(imgs_r)
-    pair = extract_mode == "kernel" and len(params.dirs) >= 4
+    pair = extract_mode == "kernel" and _has_both_families(params)
     s_h_t = None
     if pair:
         s_major, s_h_t = _s_volume_tr_batch(cen_l, cen_r, imgs_l, params,

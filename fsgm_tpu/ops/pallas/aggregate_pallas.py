@@ -34,6 +34,8 @@ tests/unit/test_pallas_parity.py.
 from __future__ import annotations
 
 import os
+
+from fsgm_tpu.utils.envcfg import env_int
 from typing import Callable, Sequence, Tuple
 
 import jax
@@ -91,7 +93,6 @@ def make_nmin_2d(p1: int, ext: int, inf: int = INF32) -> Callable:
     ext (always valid within bounds).
     """
     def nmin(prev: jnp.ndarray) -> jnp.ndarray:
-        nl = prev.shape[-1]
         lane = jax.lax.broadcasted_iota(jnp.int32, prev.shape,
                                         prev.ndim - 1)
         f1 = jnp.full(prev.shape[:-1] + (1,), inf, prev.dtype)
@@ -103,7 +104,6 @@ def make_nmin_2d(p1: int, ext: int, inf: int = INF32) -> Callable:
         up = jnp.concatenate([fe, prev[..., :-ext]], axis=-1)
         down = jnp.concatenate([prev[..., ext:], fe], axis=-1)
         m = jnp.minimum(jnp.minimum(left, right), jnp.minimum(up, down))
-        del nl
         return m + p1
     return nmin
 
@@ -197,7 +197,7 @@ def _make_row_sweep_kernel(dirs: Sequence[Tuple[int, int]], w: int, nd: int,
     # 512->18.7 ms for the 4-family KITTI sweep) — Mosaic materializes
     # every op's result in VMEM regardless, so small chunks only add
     # per-op overhead.  512 keeps 4K widths inside the scoped VMEM limit.
-    X_CHUNK = int(os.environ.get("FSGM_XCHUNK", "512"))
+    X_CHUNK = env_int("FSGM_XCHUNK", 512)
     n_chunks = -(-w // X_CHUNK)
     bounds = [(c * X_CHUNK, min((c + 1) * X_CHUNK, w))
               for c in range(n_chunks)]
@@ -405,7 +405,7 @@ def _row_chunk(h: int, limit: int | None = None) -> int:
     """Largest sublane-aligned (x8) divisor of h <= limit (full h if
     none — the dynamic carry slice must be provably 8-aligned)."""
     if limit is None:
-        limit = int(os.environ.get("FSGM_COLHB", "512"))
+        limit = env_int("FSGM_COLHB", 512)
     if h <= limit:
         return h
     for hb in range(limit - limit % 8, 0, -8):

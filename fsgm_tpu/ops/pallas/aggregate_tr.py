@@ -46,6 +46,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from fsgm_tpu.utils.envcfg import env_int
 from fsgm_tpu.ops.pallas.aggregate_pallas import (
     INF32, _interpret, _p2_effective, plan_dtypes, _compute_dtype)
 
@@ -298,7 +299,7 @@ def tr_family_sweep(cost_t: jnp.ndarray, img: jnp.ndarray,
     canon = [(abs(dy), dx) for dy, dx in family]
 
     if row_block is None:
-        row_block = int(os.environ.get("FSGM_TR_RB", "8"))
+        row_block = env_int("FSGM_TR_RB", 8)
     rb = row_block if h % row_block == 0 else 1
     n_steps = h // rb
     blk = (lambda i: n_steps - 1 - i) if reverse else (lambda i: i)
@@ -442,7 +443,7 @@ def tr_dual_family_sweep(cost_t: jnp.ndarray, img: jnp.ndarray,
     canon_u = [(abs(dy), dx) for dy, dx in fam_up]
 
     if row_block is None:
-        row_block = int(os.environ.get("FSGM_TR_RB", "8"))
+        row_block = env_int("FSGM_TR_RB", 8)
     rb = row_block if h % row_block == 0 else 1
     n_steps = h // rb
 
@@ -488,7 +489,7 @@ def fold_max_lanes() -> int:
     previously compiled variant.  A/B runs need a fresh process per
     setting (stereo_sgm_batch threads its fold decision as a static jit
     arg, so the explicit batched entry is safe)."""
-    return int(os.environ.get("FSGM_FOLD_MAXH", "320"))
+    return env_int("FSGM_FOLD_MAXH", 320)
 
 
 def fold_max_total_lanes() -> int:
@@ -502,7 +503,7 @@ def fold_max_total_lanes() -> int:
     serialize (plain vmap), which is also the measured-faster regime for
     wide lane counts.  FSGM_FOLD_MAXTOTAL overrides; same trace-time
     caching caveat as fold_max_lanes."""
-    return int(os.environ.get("FSGM_FOLD_MAXTOTAL", "8192"))
+    return env_int("FSGM_FOLD_MAXTOTAL", 8192)
 
 
 def _fresh_enabled() -> bool:
