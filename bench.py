@@ -50,7 +50,9 @@ CONFIGS = {
                 "kitti_stereo.json"),
     "tsukuba": (288, 384, 64, 16, "tsukuba_stereo_sgm_throughput",
                 "tsukuba.json"),
-    "kitti16": (375, 1242, 128, 8, "kitti_16path_adaptive_throughput",
+    # batch 16 (round 5): 10.09 vs 10.62 ms/frame back-to-back at batch 8
+    # (relay floor amortization; compile ~45 s either way)
+    "kitti16": (375, 1242, 128, 16, "kitti_16path_adaptive_throughput",
                 "kitti_16path.json"),
     "4k":      (2160, 3840, 128, 1, "uhd_stereo_sgm_throughput",
                 "tiled_4k.json"),

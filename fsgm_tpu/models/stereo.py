@@ -78,10 +78,17 @@ def _s_volume_tr(cen_l: jnp.ndarray, cen_r: jnp.ndarray, img: jnp.ndarray,
         cost_wlh = cost_tr.cost_volume_wlh(
             cen_l, cen_r, params.max_disp, params.invalid_cost,
             right_reference)
-        if os.environ.get("FSGM_COST_HLW", "transpose") == "kernel":
+        # 'stride' default (round 5): the row-scan volume from one
+        # strided-roll shear per row — measured 5.41/5.37 vs 5.77-6.19
+        # ms/frame for the u8-transpose derivation (back-to-back KITTI
+        # batch-16, 2026-08-20), deleting the 2.1 ms/dispatch cost
+        # transpose the r4 trace flagged.  The r4 'kernel' binary shear
+        # (26 ms/dispatch) stays for A/B; 'transpose' pins the XLA copy.
+        hlw_mode = os.environ.get("FSGM_COST_HLW", "stride")
+        if hlw_mode in ("kernel", "stride") and not right_reference:
             cost_hlw = cost_tr.cost_volume_hlw(
                 cen_l, cen_r, params.max_disp, params.invalid_cost,
-                right_reference)
+                right_reference, strided=hlw_mode == "stride")
         else:
             cost_hlw = jnp.transpose(cost_wlh, (2, 1, 0))
         hp, wp = cost_hlw.shape[0], cost_hlw.shape[2]
@@ -182,7 +189,8 @@ def extract_disparity_kernel(s_major: jnp.ndarray, params: SGMParams,
                              d_right: jnp.ndarray | None = None,
                              s_major2: jnp.ndarray | None = None,
                              h_true: int | None = None,
-                             w_true: int | None = None) -> jnp.ndarray:
+                             w_true: int | None = None,
+                             lr_kernel: bool = False) -> jnp.ndarray:
     """Fused-kernel extraction: ONE Pallas pass over the label-major S
     yields WTA + the subpixel neighborhood + the sheared right-WTA
     (ops/pallas/extract_tr.py); the rest of the stage (parabola, LR,
@@ -190,22 +198,33 @@ def extract_disparity_kernel(s_major: jnp.ndarray, params: SGMParams,
     minor layout and never re-read.  s_major2: the horizontal-family
     half-sum from pair_out aggregation, merged in-kernel (round-4
     trace-derived saving; see aggregate_paths_tr).  h_true: true row
-    count when S is row-padded (cost_tr kernel-cost pipeline)."""
+    count when S is row-padded (cost_tr kernel-cost pipeline).
+
+    lr_kernel: fold the LR-consistency check in too (round 5): the
+    right-WTA row stays in VMEM and the kernel emits the validity plane
+    directly (strided-roll shear gather, extract_tr._lr_valid_row) —
+    deletes the 128-shift XLA select loop from the dispatch.  Exactness
+    contract unchanged (rint(subpixel) rounding replicated in-kernel)."""
     from fsgm_tpu.ops.pallas import extract_tr
+    from fsgm_tpu.params import INVALID
     need_rwta = params.lr_check and d_right is None
+    with_lr = params.lr_max_diff if (need_rwta and lr_kernel) else None
     d_int, s_m, s_0, s_p, d_r = extract_tr.extract_stereo_major(
         s_major, params.s_invalid, w_true=w_true,
         with_sub=params.subpixel, with_rwta=need_rwta,
-        s_major2=s_major2, h_true=h_true)
-    if need_rwta:
+        s_major2=s_major2, h_true=h_true, with_lr=with_lr)
+    if need_rwta and with_lr is None:
         d_right = d_r
     disp = d_int.astype(jnp.float32)
     if params.subpixel:
         disp = ext.subpixel_from_neighborhood(d_int, s_m, s_0, s_p,
                                               s_major.shape[1])
     if params.lr_check:
-        disp = ext.lr_check(disp, d_right, params.lr_max_diff,
-                            params.max_disp)
+        if with_lr is not None:
+            disp = jnp.where(d_r != 0, disp, jnp.float32(INVALID))
+        else:
+            disp = ext.lr_check(disp, d_right, params.lr_max_diff,
+                                params.max_disp)
     if params.median_filter:
         disp = ext.median_filter_3x3(disp)
     if params.fill_invalid:
@@ -246,11 +265,12 @@ def _has_both_families(params: SGMParams) -> bool:
             and any(dy == 0 for dy, _ in params.dirs))
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def _stereo_sgm_jit(img_l: jnp.ndarray, img_r: jnp.ndarray,
                     params: SGMParams, backend: str,
                     extract_mode: str = "minor",
-                    rwta_pallas: bool = False) -> jnp.ndarray:
+                    rwta_pallas: bool = False,
+                    lr_kernel: bool = False) -> jnp.ndarray:
     d_right = None
     if backend == "pallas_tr":
         # the tr sweeps natively produce label-MAJOR S; extraction runs in
@@ -279,7 +299,8 @@ def _stereo_sgm_jit(img_l: jnp.ndarray, img_r: jnp.ndarray,
             return extract_disparity_kernel(
                 s_major, params, d_right=d_right,
                 s_major2=s_h_t if pair else None,
-                h_true=img_l.shape[0], w_true=img_l.shape[1])
+                h_true=img_l.shape[0], w_true=img_l.shape[1],
+                lr_kernel=lr_kernel)
         if extract_mode == "major":
             return extract_disparity_major(s_major, params, d_right=d_right)
         if (params.lr_check and d_right is None and rwta_pallas):
@@ -338,6 +359,18 @@ def _rwta_pallas(backend: str) -> bool:
             and os.environ.get("FSGM_RWTA", "pallas") == "pallas")
 
 
+def _lr_kernel(backend: str) -> bool:
+    """In-kernel LR-consistency (round 5): the fused extraction kernel
+    emits the validity plane directly via the strided-roll shear gather
+    (extract_tr._lr_valid_row) instead of handing d_right to the XLA
+    128-shift select loop.  FSGM_LR=xla pins the XLA loop for A/B.
+    Resolved OUTSIDE jit and threaded as a static arg (the resolved
+    value is part of the jit cache key — no stale-trace hazard)."""
+    import os
+    return (backend == "pallas_tr"
+            and os.environ.get("FSGM_LR", "kernel") == "kernel")
+
+
 def _s_volume_tr_batch(cen_l: jnp.ndarray, cen_r: jnp.ndarray,
                        imgs: jnp.ndarray, params: SGMParams,
                        right_reference: bool = False,
@@ -376,15 +409,17 @@ def _s_volume_tr_batch(cen_l: jnp.ndarray, cen_r: jnp.ndarray,
         s_max=params.s_invalid, major_out=not pair_out, pair_out=pair_out)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
 def _stereo_sgm_batch_jit(imgs_l: jnp.ndarray, imgs_r: jnp.ndarray,
                           params: SGMParams, backend: str,
                           extract_mode: str, rwta_pallas: bool,
-                          fold: bool = True) -> jnp.ndarray:
+                          fold: bool = True,
+                          lr_kernel: bool = False) -> jnp.ndarray:
     if backend != "pallas_tr" or not fold:
         return jax.vmap(
             lambda a, b: _stereo_sgm_jit(a, b, params, backend,
-                                         extract_mode, rwta_pallas))(
+                                         extract_mode, rwta_pallas,
+                                         lr_kernel))(
             imgs_l, imgs_r)
     cen = jax.vmap(lambda x: census_transform(x, params.census_window))
     cen_l, cen_r = cen(imgs_l), cen(imgs_r)
@@ -406,7 +441,8 @@ def _stereo_sgm_batch_jit(imgs_l: jnp.ndarray, imgs_r: jnp.ndarray,
             return extract_disparity_kernel(s, params, d_right=dr,
                                             s_major2=s2,
                                             h_true=imgs_l.shape[1],
-                                            w_true=imgs_l.shape[2])
+                                            w_true=imgs_l.shape[2],
+                                            lr_kernel=lr_kernel)
         if extract_mode == "major":
             return extract_disparity_major(s, params, d_right=dr)
         if params.lr_check and dr is None and rwta_pallas:
@@ -450,7 +486,8 @@ def stereo_sgm_batch(imgs_l: jnp.ndarray, imgs_r: jnp.ndarray,
             and imgs_l.shape[0] * hp <= fold_max_total_lanes())
     return _stereo_sgm_batch_jit(imgs_l, imgs_r, params, backend,
                                  _extract_mode(backend),
-                                 _rwta_pallas(backend), fold)
+                                 _rwta_pallas(backend), fold,
+                                 _lr_kernel(backend))
 
 
 def stereo_sgm(img_l: jnp.ndarray, img_r: jnp.ndarray, params: SGMParams,
@@ -463,4 +500,5 @@ def stereo_sgm(img_l: jnp.ndarray, img_r: jnp.ndarray, params: SGMParams,
     can never hit a stale trace."""
     backend = resolve_backend(backend)
     return _stereo_sgm_jit(img_l, img_r, params, backend,
-                           _extract_mode(backend), _rwta_pallas(backend))
+                           _extract_mode(backend), _rwta_pallas(backend),
+                           _lr_kernel(backend))

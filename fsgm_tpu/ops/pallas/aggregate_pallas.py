@@ -471,8 +471,9 @@ def _p2_effective(img: jnp.ndarray, dy: int, dx: int, p1: int, p2: int,
     tile carry continues the scan there — then img_above2/img_below2 (the
     (2, W) image rows just outside the tile) supply the true cross-seam
     gradient, matching ops.aggregate._p2_effective."""
+    dt = jnp.int16 if p2 < (1 << 15) else jnp.int32
     if not adaptive:
-        return jnp.full(img.shape, p2, dtype=jnp.int32)
+        return jnp.full(img.shape, p2, dtype=dt)
     img = img.astype(jnp.int32)
     h, w = img.shape
     if img_above2 is None and img_below2 is None:
@@ -486,7 +487,16 @@ def _p2_effective(img: jnp.ndarray, dy: int, dx: int, p1: int, p2: int,
         pred = jax.lax.dynamic_slice_in_dim(ext, 2 - dy, h, axis=0)
     pred = jnp.roll(pred, dx, axis=1)
     diff = jnp.maximum(jnp.abs(img - pred), 1)
-    return jnp.maximum(jnp.int32(p1 + 1), jnp.int32(p2) // diff)
+    # p2 // diff as an exact f32 floor-division (round 5: the 16-path
+    # trace showed the per-direction P2' fusions at ~140 GB/s — integer
+    # division is the compute bottleneck).  Exact because f32 division
+    # is correctly rounded and quotient*divisor <= p2 < 2^24: a nonexact
+    # quotient sits >= 1/diff from any integer while the rounding error
+    # is < quotient/2^24 <= 1/diff.  Output i16 when p2 fits (halves
+    # the stack's HBM/VMEM traffic; the sweeps upcast per (1, W) row).
+    assert p2 < (1 << 24), p2
+    q = jnp.floor(jnp.float32(p2) / diff.astype(jnp.float32))
+    return jnp.maximum(jnp.asarray(p1 + 1, dt), q.astype(dt))
 
 
 def plan_dtypes(p2: int, s_max: int | None):

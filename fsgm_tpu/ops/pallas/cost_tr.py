@@ -194,7 +194,37 @@ def cost_volume_wlh_batch(cen_l: jnp.ndarray, cen_r: jnp.ndarray,
 
 def _make_hlw_kernel(nd: int, w: int, w_true: int, h_true: int, rb: int,
                      words: int, invalid_cost: int,
-                     right_reference: bool):
+                     right_reference: bool, strided: bool = False):
+    wa = -(-w // 128) * 128     # strided roll needs a 128-aligned width
+
+    def shear(row):             # (1, w) -> (nd, w): t[d, x] = row[x - d]
+        if not strided:
+            t = jnp.broadcast_to(row, (nd, w))
+            sub = jax.lax.broadcasted_iota(jnp.int32, (nd, w), 0)
+            k = 1
+            while k < nd:
+                # sublane bit k set -> lane shift by 2^k: x-d needs
+                # values from LOWER lanes (roll right); x+d (right
+                # reference) from higher (roll left)
+                shift = k if not right_reference else (-k) % w
+                rolled = pltpu.roll(t, shift, 1)
+                t = jnp.where((sub & k) != 0, rolled, t)
+                k *= 2
+            return t
+        # round 5: the whole Toeplitz shear is ONE hardware op — a
+        # per-sublane strided lane roll (shift of sublane d = d; the
+        # per-vreg shift spread is 7, within Mosaic's limit).  Only the
+        # forward (x - d) shear is expressible: stride=W-1 for x + d is
+        # rejected ("max shift in a vreg larger than the vreg's width"),
+        # so right_reference keeps the binary shear above.
+        assert not right_reference
+        if wa != w:
+            row = jnp.concatenate(
+                [row, jnp.zeros((1, wa - w), row.dtype)], axis=1)
+        t = pltpu.roll(jnp.broadcast_to(row, (nd, wa)), 0, 1,
+                       stride=1, stride_axis=0)
+        return t[:, :w] if wa != w else t
+
     def kernel(cl_ref, cr_ref, out_ref):
         i = pl.program_id(0)
         sub = jax.lax.broadcasted_iota(jnp.int32, (nd, w), 0)
@@ -202,16 +232,7 @@ def _make_hlw_kernel(nd: int, w: int, w_true: int, h_true: int, rb: int,
         for r in range(rb):
             acc = None
             for wd in range(words):
-                t = jnp.broadcast_to(cr_ref[wd, r:r + 1, :], (nd, w))
-                k = 1
-                while k < nd:
-                    # sublane bit k set -> lane shift by 2^k: x-d needs
-                    # values from LOWER lanes (roll right); x+d (right
-                    # reference) from higher (roll left)
-                    shift = k if not right_reference else (-k) % w
-                    rolled = pltpu.roll(t, shift, 1)
-                    t = jnp.where((sub & k) != 0, rolled, t)
-                    k *= 2
+                t = shear(cr_ref[wd, r:r + 1, :])
                 x_or = jax.lax.population_count(
                     jnp.broadcast_to(cl_ref[wd, r:r + 1, :], (nd, w)) ^ t)
                 acc = x_or if acc is None else acc + x_or
@@ -227,17 +248,23 @@ def _make_hlw_kernel(nd: int, w: int, w_true: int, h_true: int, rb: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def cost_volume_hlw(cen_l: jnp.ndarray, cen_r: jnp.ndarray,
                     max_disp: int, invalid_cost: int = 255,
                     right_reference: bool = False,
-                    row_block: int = 8) -> jnp.ndarray:
+                    row_block: int = 8,
+                    strided: bool = False) -> jnp.ndarray:
     """(H, W, words) u32 census pair -> (H', D, W) u8 row-scan cost
     volume, H' the 8-multiple row pad; rows [0, H) bit-identical to
     ops/cost.py::cost_volume_stereo_major, pad rows neutral zero (the
     round-4 row-padded vertical pipeline: pad rows let the sweeps run
     rb=8 row blocks — 47 grid steps at KITTI instead of 375 — and are
-    exact by the same neutral-zero argument as the horizontal pads)."""
+    exact by the same neutral-zero argument as the horizontal pads).
+
+    strided (round 5, left reference only): the Toeplitz lane shear as
+    ONE strided roll per row instead of log2(D) masked rolls — the form
+    that lost to the XLA transpose in round 4 (26 ms/dispatch) was the
+    binary shear; see _make_hlw_kernel."""
     h, w, words = cen_l.shape
     hp = _pad8(h)
     nd = max_disp
@@ -250,7 +277,8 @@ def cost_volume_hlw(cen_l: jnp.ndarray, cen_r: jnp.ndarray,
         cl = jnp.pad(cl, ((0, 0), (0, hp - h), (0, 0)))
         cr = jnp.pad(cr, ((0, 0), (0, hp - h), (0, 0)))
     kernel = _make_hlw_kernel(nd, w, w, h, rb, words, invalid_cost,
-                              bool(right_reference))
+                              bool(right_reference),
+                              strided and not right_reference)
     return pl.pallas_call(
         kernel, grid=(hp // rb,),
         in_specs=[pl.BlockSpec((words, rb, w),

@@ -105,9 +105,51 @@ BIG = 1 << 24   # out-of-range neighborhood sentinel (ops/extract.py::
                 # neighborhood_of_min contract: callers gate on interior)
 
 
+def _round_disp(d, s_m, s_0, s_p, nl: int, with_sub: bool):
+    """rint(subpixel-refined d) — the index lr_check gathers at —
+    replicated bit-exactly from ops/extract.py::subpixel_from_neighborhood
+    + jnp.rint: every pre-division value is an exact integer in f32
+    (|S| < 2^24), so div/clip/add/rint are deterministic regardless of
+    fusion and the in-kernel result matches the XLA path bit-for-bit."""
+    if not with_sub:
+        return d
+    fm, f0, fp = (x.astype(jnp.float32) for x in (s_m, s_0, s_p))
+    denom = fm - 2.0 * f0 + fp
+    ok = (d > 0) & (d < nl - 1) & (denom > 0.0)
+    off = jnp.where(ok, (fm - fp) / jnp.maximum(2.0 * denom, 1e-12), 0.0)
+    off = jnp.clip(off, -0.5, 0.5)
+    disp = d.astype(jnp.float32) + jnp.where(ok, off, 0.0)
+    return jax.lax.round(
+        disp, jax.lax.RoundingMethod.TO_NEAREST_EVEN).astype(jnp.int32)
+
+
+def _lr_valid_row(dr, rho, sub, lane, nl: int, w: int, max_diff: int):
+    """(1, W) LR validity: |dr(x) - rho(x - dr(x))| <= max_diff, x >= dr.
+
+    The gather rho(x - dr(x)) rides the STRIDED roll: broadcasting the
+    right-WTA row over sublanes and rolling lane x of sublane l by l
+    (stride=1 — per-vreg shift spread is 7, within Mosaic's limit; the
+    roll needs a 128-aligned width, so the row is lane-padded in VMEM
+    first) yields g[l, x] = rho[x - l]; a one-hot select at l = dr(x) is
+    the gather.  Replaces the 128-iteration XLA shift-select loop
+    (ops/extract.py::lr_check, ~0.33 ms/frame at KITTI — VERDICT r5 #3).
+    Wrapped lanes (x < l) are discarded by the x >= dr mask."""
+    wa = -(-w // 128) * 128
+    rho_a = rho if wa == w else jnp.concatenate(
+        [rho, jnp.zeros((1, wa - w), rho.dtype)], axis=1)
+    g = pltpu.roll(jnp.broadcast_to(rho_a, (nl, wa)), 0, 1,
+                   stride=1, stride_axis=0)
+    if wa != w:
+        g = g[:, :w]
+    gsel = sub_min(jnp.where(sub == dr, g, KILL))
+    return ((jnp.abs(dr - gsel) <= max_diff)
+            & (lane[:1] >= dr)).astype(jnp.int32)
+
+
 def _make_extract_kernel(nl: int, w: int, w_true: int, rb: int,
                          s_invalid: int, with_sub: bool, with_rwta: bool,
-                         paired: int | bool = False):
+                         paired: int | bool = False,
+                         with_lr: int | None = None):
     """Fused stereo extraction on label-major S: per row, ONE read of the
     (L, W) block computes packed WTA (argmin + S[d*], smallest-index
     tie-break), the one-hot S[d*-1]/S[d*+1] neighborhood for subpixel, and
@@ -120,7 +162,11 @@ def _make_extract_kernel(nl: int, w: int, w_true: int, rb: int,
     two full-volume passes) costing ~0.9 ms/frame at KITTI size.  The
     second half may carry lane pad (paired = its block width w2 >= w;
     Mosaic requires whole-dim blocks, so the pad is sliced off IN VMEM
-    after the load, never in HBM)."""
+    after the load, never in HBM).
+
+    with_lr (int max_diff, requires with_rwta): fold the LR-consistency
+    check in too — the right-WTA row never leaves the kernel; the output
+    is the (1, W) validity row instead (round-5; see _lr_valid_row)."""
     w2 = paired if paired else w
 
     def kernel(*refs):
@@ -151,13 +197,20 @@ def _make_extract_kernel(nl: int, w: int, w_true: int, rb: int,
             pm = sub_min(packed)                             # (1, W)
             d = pm & 255
             d_ref[r] = d
+            s_m = s_0 = s_p = None
             if with_sub:
-                s0_ref[r] = pm >> 8
-                sm_ref[r] = sub_min(jnp.where(sub == d - 1, v, BIG))
-                sp_ref[r] = sub_min(jnp.where(sub == d + 1, v, BIG))
+                s_0 = pm >> 8
+                s_m = sub_min(jnp.where(sub == d - 1, v, BIG))
+                s_p = sub_min(jnp.where(sub == d + 1, v, BIG))
+                s0_ref[r], sm_ref[r], sp_ref[r] = s_0, s_m, s_p
             if with_rwta:
-                r_ref[r] = _rwta_row(v, sub, lane, nl, w, w_true,
-                                     s_invalid)
+                rho = _rwta_row(v, sub, lane, nl, w, w_true, s_invalid)
+                if with_lr is None:
+                    r_ref[r] = rho
+                else:
+                    dr = _round_disp(d, s_m, s_0, s_p, nl, with_sub)
+                    r_ref[r] = _lr_valid_row(dr, rho, sub, lane, nl, w,
+                                             with_lr)
 
     return kernel
 
@@ -167,7 +220,8 @@ def extract_stereo_major(s_major: jnp.ndarray, s_invalid: int,
                          with_sub: bool = True, with_rwta: bool = True,
                          row_block: int = 8,
                          s_major2: jnp.ndarray | None = None,
-                         h_true: int | None = None):
+                         h_true: int | None = None,
+                         with_lr: int | None = None):
     """(H, L, W) S -> (d_int, s_m, s_0, s_p, d_right), each
     (h_true, w_true) int32 (s_m/s_0/s_p None without with_sub; d_right
     None without with_rwta).  Bit-identical to ext.wta /
@@ -175,6 +229,14 @@ def extract_stereo_major(s_major: jnp.ndarray, s_invalid: int,
     volume.  h_true: true row count when S carries the round-4 row pad
     (cost_tr row-padded pipeline); pad rows are computed (they ride the
     same grid) and sliced off with the lane pad.
+
+    with_lr (int lr_max_diff; requires with_rwta): the LR check runs
+    in-kernel on the strided-roll shear and the d_right slot of the
+    return holds the (h_true, w_true) int32 VALIDITY plane instead
+    (1 = keep, 0 = invalidate) — bit-identical to
+    ext.lr_check(subpixel_from_neighborhood(...), wta_right_from_s(...))
+    != INVALID on the same volume (the rint(subpixel) rounding is
+    replicated exactly; see _round_disp).
 
     s_major2: optional second half-sum (the transposed horizontal-family
     S from aggregate_paths_tr(pair_out=True)) — may be LARGER than
@@ -189,10 +251,11 @@ def extract_stereo_major(s_major: jnp.ndarray, s_invalid: int,
     if h_true is None:
         h_true = h
     assert ((s_invalid << 8) | 255) < KILL, s_invalid
+    assert with_lr is None or with_rwta, "with_lr needs the right-WTA"
     rb = row_block if h % row_block == 0 else 1
     paired = s_major2.shape[2] if s_major2 is not None else False
     kernel = _make_extract_kernel(nl, w, w_true, rb, s_invalid,
-                                  with_sub, with_rwta, paired)
+                                  with_sub, with_rwta, paired, with_lr)
     n_out = 1 + (3 if with_sub else 0) + (1 if with_rwta else 0)
     spec = pl.BlockSpec((rb, 1, w), lambda i: (i, 0, 0))
     shape = jax.ShapeDtypeStruct((h, 1, w), jnp.int32)

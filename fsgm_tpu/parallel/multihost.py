@@ -65,7 +65,7 @@ ICI_LATENCY_S = 2e-6
 
 
 def project_weak_scaling(h: int = 375, w: int = 1242, d: int = 128,
-                         n_families: int = 4, units_per_family: int = 2,
+                         n_families: int = 4, units_per_family: int = 3,
                          carry_bytes: int = 2, batch: int = 16,
                          margin: int = 24,
                          t_row_s: float = MEASURED_T_ROW_S,
@@ -89,11 +89,19 @@ def project_weak_scaling(h: int = 375, w: int = 1242, d: int = 128,
     Returns one record per N with projected efficiency for both modes.
     The measured anchor t_row_s comes from the round-4 trace; halo
     bytes are exact; ICI numbers are public v5e figures — assumptions,
-    not measurements, and recorded as such."""
+    not measurements, and recorded as such.
+
+    units_per_family=3 is the tr-backend carry of an 8-path vertical
+    family (3 directions x 1 sublane unit each — tr_carry_units); the
+    round-4 table used 2, an undercount the round-5 virtual-mesh
+    calibration exposed (calibrate_weak_scaling_model counts the REAL
+    ppermuted bytes; 16-path knight families carry 9 units).  The halo
+    stays ~us-scale either way, so no r4 conclusion moves."""
     out = []
     # the measured row time is for W=1242 tiles; row work scales ~W
     t_row_s = t_row_s * (w / 1242.0)
-    halo_bytes = units_per_family * d * w * carry_bytes
+    wp = -(-w // 8) * 8                          # tr lane pad, as shipped
+    halo_bytes = units_per_family * d * wp * carry_bytes
     t_halo = halo_bytes / (ici_gbps * 1e9) + ICI_LATENCY_S
     for n in (2, 4, 8, 16):
         rows = -(-h // n)
@@ -117,3 +125,93 @@ def project_weak_scaling(h: int = 375, w: int = 1242, d: int = 128,
             "meets_80pct": bool(eff_fast >= 0.8),
         })
     return out
+
+
+def calibrate_weak_scaling_model(h: int = 64, w: int = 48, d: int = 16,
+                                 ty: int = 4, margin: int = 8,
+                                 num_paths: int = 8) -> dict:
+    """Validate project_weak_scaling's STRUCTURAL terms against counts
+    from the real tiled implementation on the virtual device mesh
+    (round-5 VERDICT item 7: the occupancy/stall model had never been
+    checked against anything).
+
+    Runs the exact-wavefront and fast-margin pipelines with the work- and
+    halo-instrumentation hooks (parallel.tiled._WORK_CALLBACK /
+    _HALO_CALLBACK) and compares, term by term:
+
+      * rows swept per vertical family (exact): model says H (each row
+        aggregated once — the occupancy term assumes no redundant work);
+      * chain depth (exact): model's pipelining term batch/(batch+N-1)
+        assumes N sequential active sweeps per family — counted as the
+        number of active-branch firings;
+      * rows swept per family (fast): model's margin-overhead term
+        assumes H + N*margin;
+      * halo bytes per family boundary: model's t_halo numerator vs the
+        byte size of the actually-ppermuted carry buffers.
+
+    CPU-mesh wall time is meaningless (4-core contention), so only
+    structure is compared — that is exactly the part of the model that
+    is not a stated hardware assumption (t_row, ICI bandwidth/latency).
+    Returns {"exact": {...}, "fast": {...}, "halo": {...}}, each with
+    model/counted pairs and an "ok" flag; test_tiled.py asserts all ok.
+    """
+    import jax.numpy as jnp
+    from fsgm_tpu.params import SGMParams, DistParams
+    from fsgm_tpu.io.synthetic import random_dot_stereo
+    from fsgm_tpu.parallel import tiled
+    from fsgm_tpu.ops.pallas.aggregate_tr import tr_carry_units
+
+    img_l, img_r, _ = random_dot_stereo(h, w, d, seed=23)
+    p = SGMParams(max_disp=d, p1=7, p2=60, num_paths=num_paths)
+    devs = np.array(jax.devices()[:ty]).reshape(1, ty)
+    mesh = jax.sharding.Mesh(devs, ("frame", "ty"))
+
+    def run(mode: str):
+        work, halo = [], []
+        tiled._WORK_CALLBACK = lambda tag, rows: work.append(
+            (tag, int(rows)))
+        tiled._HALO_CALLBACK = lambda tag, nbytes, _z: halo.append(
+            (tag, int(nbytes)))
+        try:
+            dist = DistParams(tiles_y=ty, frame_shards=1, tile_mode=mode,
+                              margin=margin)
+            out = tiled.stereo_sgm_sharded(
+                jnp.asarray(img_l)[None], jnp.asarray(img_r)[None], p,
+                dist, mesh, "pallas_tr")
+            out.block_until_ready()
+            jax.effects_barrier()
+        finally:
+            tiled._WORK_CALLBACK = None
+            tiled._HALO_CALLBACK = None
+        return work, halo
+
+    down = [r for r in p.dirs if r[0] > 0]
+    units = tr_carry_units(down)
+    wp = -(-w // 8) * 8
+    # carry dtype: i16 iff 255 + p2 fits (plan_dtypes)
+    cbytes = 2 if 255 + p.p2 < (1 << 15) else 4
+    model_halo = units * d * wp * cbytes
+
+    work_e, halo_e = run("exact")
+    down_rows = sum(r for t, r in work_e if t == "down")
+    chain = sum(1 for t, _ in work_e if t == "down")
+    work_f, _ = run("fast")
+    down_rows_f = sum(r for t, r in work_f if t == "down")
+    # halo messages: census row-halo (2-row u8 pairs) + one carry per
+    # family per wavefront step; carry buffers are the large ones
+    carry_msgs = sorted({b for _t, b in halo_e}, reverse=True)
+    counted_halo = carry_msgs[0] if carry_msgs else 0
+
+    res = {
+        "exact": {"model_rows_per_family": h, "counted": down_rows,
+                  "model_chain_depth": ty, "counted_chain": chain,
+                  "ok": down_rows == h and chain == ty},
+        "fast": {"model_rows_per_family": h + ty * margin,
+                 "counted": down_rows_f,
+                 "ok": down_rows_f == h + ty * margin},
+        "halo": {"model_carry_bytes_per_boundary": model_halo,
+                 "counted_carry_bytes": counted_halo,
+                 "ok": counted_halo == model_halo},
+    }
+    res["ok"] = all(v["ok"] for v in res.values() if isinstance(v, dict))
+    return res

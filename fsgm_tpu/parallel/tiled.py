@@ -38,6 +38,7 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from fsgm_tpu.params import SGMParams, DistParams, forgetting_margin
@@ -53,11 +54,13 @@ from fsgm_tpu.ops import extract as ext
 
 def _send_down(x, axis: str, t: int):
     """Device k receives device k-1's value (device 0 receives zeros)."""
+    _count_halo("down", x)
     return jax.lax.ppermute(x, axis, [(i, i + 1) for i in range(t - 1)])
 
 
 def _send_up(x, axis: str, t: int):
     """Device k receives device k+1's value (device t-1 receives zeros)."""
+    _count_halo("up", x)
     return jax.lax.ppermute(x, axis, [(i + 1, i) for i in range(t - 1)])
 
 
@@ -93,11 +96,25 @@ def _split_dirs(dirs: Sequence[Tuple[int, int]]):
 # schedule skips inactive tiles instead of masking redundant recompute.
 _WORK_CALLBACK = None
 
+# When set, called as f(direction: str, nbytes: int) once per DEVICE per
+# ppermute through _send_down/_send_up with the local message buffer size
+# — the measured-halo side of the weak-scaling model calibration
+# (multihost.calibrate_weak_scaling_model; round-5 VERDICT item 7).
+_HALO_CALLBACK = None
+
 
 def _count_work(tag: str, rows: int):
     if _WORK_CALLBACK is not None:
         jax.debug.callback(functools.partial(_WORK_CALLBACK, tag),
                            jnp.int32(rows))
+
+
+def _count_halo(direction: str, x):
+    if _HALO_CALLBACK is not None:
+        nbytes = int(np.prod(x.shape)) * x.dtype.itemsize
+        jax.debug.callback(
+            functools.partial(_HALO_CALLBACK, direction, nbytes),
+            jnp.int32(0))
 
 
 class _XlaFamilyBackend:
@@ -336,11 +353,14 @@ def _aggregate_tiled_fast(cost_t, img_t, above2, below2, dirs, p1, p2,
 
     for family in (down, up):
         is_down = family[0][0] > 0
+        tag = "down" if is_down else "up"
+        _count_work(tag, ht)
         s1, cout = be.family_sweep(be.zeros_s(), family,
                                    be.zero_carry(family))
         send = _send_down if is_down else _send_up
         carry = send(cout, axis, t)
         rows = slice(0, m) if is_down else slice(ht - m, ht)
+        _count_work(tag, m)
         s_fix, _ = be.family_sweep(be.zeros_s(rows=m), family, carry,
                                    rows=rows)
         if is_down:

@@ -141,6 +141,48 @@ def test_extract_stereo_major_kernel_parity(with_sub, with_rwta):
         assert d_r is None
 
 
+@pytest.mark.parametrize("with_sub,w", [(True, 64), (False, 64),
+                                        (True, 128)])
+def test_extract_in_kernel_lr_parity(with_sub, w):
+    """with_lr: the in-kernel LR validity plane (strided-roll shear
+    gather + the replicated rint(subpixel) rounding, round 5) must be
+    bit-identical to the XLA chain it replaces:
+    lr_check(subpixel_from_neighborhood(...), wta_right_from_s(...)).
+    w=64 exercises the unaligned-width lane pad inside the kernel."""
+    from fsgm_tpu.ops.pallas.extract_tr import extract_stereo_major
+    s_invalid = 30000
+    rng = np.random.default_rng(w + with_sub)
+    h, nl = 24, 32
+    s = rng.integers(0, 2900, size=(h, w, nl)).astype(np.int16)
+    sj = jnp.asarray(s)
+    s_major = jnp.transpose(sj, (0, 2, 1))
+    d_int, s_m, s_0, s_p, lrv = extract_stereo_major(
+        s_major, s_invalid, with_sub=with_sub, with_rwta=True, with_lr=1)
+    d_ref = ext.wta(sj)
+    disp = (ext.subpixel_refine(sj, d_ref) if with_sub
+            else d_ref.astype(jnp.float32))
+    d_right = ext.wta_right_from_s(sj, s_invalid)
+    want_valid = np.asarray(ext.lr_check(disp, d_right, 1, nl)) != -1.0
+    np.testing.assert_array_equal(np.asarray(lrv) != 0, want_valid)
+
+
+def test_full_pipeline_in_kernel_lr(monkeypatch):
+    """stereo_sgm end-to-end with the in-kernel LR (the round-5 default)
+    vs the pinned XLA lr_check path — identical fields."""
+    from fsgm_tpu.models.stereo import stereo_sgm
+    img_l, img_r, _ = random_dot_stereo(40, 56, 16, seed=11)
+    p = SGMParams(max_disp=16, p1=7, p2=60)
+    monkeypatch.delenv("FSGM_EXTRACT_MAJOR", raising=False)
+    monkeypatch.setenv("FSGM_EXTRACT", "kernel")
+    monkeypatch.setenv("FSGM_LR", "kernel")
+    ours = np.asarray(stereo_sgm(jnp.asarray(img_l), jnp.asarray(img_r),
+                                 p, "pallas_tr"))
+    monkeypatch.setenv("FSGM_LR", "xla")
+    ref = np.asarray(stereo_sgm(jnp.asarray(img_l), jnp.asarray(img_r),
+                                p, "pallas_tr"))
+    np.testing.assert_array_equal(ours, ref)
+
+
 @pytest.mark.parametrize("lr_mode", ["s_trick", "reagg"])
 def test_full_pipeline_kernel_extraction(monkeypatch, lr_mode):
     """stereo_sgm with the fused-kernel extraction mode (the pallas_tr
