@@ -85,19 +85,32 @@ def _s_volume_tr(cen_l: jnp.ndarray, cen_r: jnp.ndarray, img: jnp.ndarray,
         # transpose the r4 trace flagged.  The r4 'kernel' binary shear
         # (26 ms/dispatch) stays for A/B; 'transpose' pins the XLA copy.
         hlw_mode = os.environ.get("FSGM_COST_HLW", "stride")
+        w_img = img.shape[1]
+        # lane pad >= the largest |dx| in the direction set enables the
+        # sweeps' mask-free shifted directions (aggregate_tr round 5)
+        max_dx = max(abs(dx) for _dy, dx in params.dirs)
+        pad8 = lambda n: -(-n // 8) * 8                  # noqa: E731
+        pad_w = pad8(w_img if pad8(w_img) - w_img >= max_dx
+                     else w_img + max_dx)
         if hlw_mode in ("kernel", "stride") and not right_reference:
             cost_hlw = cost_tr.cost_volume_hlw(
                 cen_l, cen_r, params.max_disp, params.invalid_cost,
-                right_reference, strided=hlw_mode == "stride")
+                right_reference, strided=hlw_mode == "stride",
+                pad_w=pad_w)
         else:
             cost_hlw = jnp.transpose(cost_wlh, (2, 1, 0))
         hp, wp = cost_hlw.shape[0], cost_hlw.shape[2]
         img_p = jnp.pad(img, ((0, hp - img.shape[0]),
                               (0, wp - img.shape[1])), mode="edge")
+        # FSGM_TR_MASKFREE=0 pins the masked rolls for A/B (trace-time
+        # read — fresh process per setting, see fold_max_lanes)
+        mask_free = (wp - w_img >= max_dx
+                     and os.environ.get("FSGM_TR_MASKFREE", "1") != "0")
         return aggregate_tr.aggregate_paths_tr(
             cost_hlw, img_p, params.dirs, params.p1, params.p2,
             params.adaptive_p2, s_max=params.s_invalid,
-            cost_wlh=cost_wlh, major_out=major_out, pair_out=pair_out)
+            cost_wlh=cost_wlh, major_out=major_out, pair_out=pair_out,
+            w_true=w_img if mask_free else None)
     cost_hlw = cost_volume_stereo_major(cen_l, cen_r, params.max_disp,
                                         params.invalid_cost,
                                         right_reference)

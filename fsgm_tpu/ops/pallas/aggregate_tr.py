@@ -119,9 +119,15 @@ def tr_carry_units(dirs: Sequence[Tuple[int, int]]) -> int:
     return sum(2 if abs(dy) == 2 else 1 for dy, _ in dirs)
 
 
+# Mask-free pad INF (round 5): small enough to fit the i16 carry, far
+# above any real path cost (<= 255 + P2).  See _make_tr_kernel.
+INF_PAD = 1 << 14
+
+
 def _make_tr_kernel(dirs, nd: int, w: int, rb: int, reverse: bool,
                     nmin: Callable, s_dtype, cdt, inf: int, carry_dt,
-                    n_steps: int, with_carry: bool, fresh: bool = False):
+                    n_steps: int, with_carry: bool, fresh: bool = False,
+                    w_true: int | None = None):
     """dirs: canonical (ady, dx), ady in {1, 2}.  Each grid step processes
     `rb` rows of the canonicalized volume (row blocking amortizes per-step
     overhead on the W-long horizontal scans); `reverse` flips both the
@@ -182,6 +188,21 @@ def _make_tr_kernel(dirs, nd: int, w: int, rb: int, reverse: bool,
                 carry_ref[...] = jnp.zeros(carry_ref.shape, carry_ref.dtype)
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+        # Mask-free shifted directions (round 5): when the lane axis
+        # carries >= max|dx| PAD lanes past w_true, the post-roll
+        # `where` masks are provably redundant — the kernel pins every
+        # pad-lane carry to exactly INF_PAD each row by (a) forcing
+        # cost = INF_PAD and p2e = 0 on pad lanes (two shared ops/row
+        # replacing one (nd, w) mask per shifted direction), so
+        # l_pad = INF_PAD + (best - m) = INF_PAD exactly: best = m
+        # because cand >= m lane-wise and m + p2e_pad = m.  Rolled-in
+        # pad values then reproduce the golden edge rule bit-exactly
+        # (l_edge = cost + INF_PAD - INF_PAD = cost), and wrapped REAL
+        # values only ever land in pad lanes, whose next carry is
+        # re-pinned by the forced cost.  Row 0 from the zero carry
+        # computes l = cost at edges either way (m = cand = 0).
+        mask_free = (w_true is not None and w_true < w
+                     and all(abs(dx) <= w - w_true for _, dx in dirs))
         rows = range(rb - 1, -1, -1) if reverse else range(rb)
         for r in rows:
             # fresh mode (round-4 trace finding): the FIRST family of a
@@ -191,6 +212,11 @@ def _make_tr_kernel(dirs, nd: int, w: int, rb: int, reverse: bool,
             # waste — start the accumulator at the first direction's L
             acc = None if fresh else s_ref[r].astype(cdt)  # (nd, w)
             cost = c_ref[r].astype(cdt)
+            p2e_row = p2e_ref[r]
+            if mask_free:
+                cost = jnp.where(lane >= w_true, INF_PAD, cost)
+                p2e_row = jnp.where(lane >= w_true, 0,
+                                    p2e_row.astype(jnp.int32))
             for k, (ady, dx) in enumerate(dirs):
                 o = offs[k]
                 slot = (o + (r & 1) if ady == 2 and parity
@@ -203,10 +229,13 @@ def _make_tr_kernel(dirs, nd: int, w: int, rb: int, reverse: bool,
                 # is VMEM-round-trip bound per op, so this is a direct
                 # ~2-op/row saving on every dx != 0 direction
                 cand = jnp.minimum(prev, nmin(prev))      # (nd, w)
-                if dx != 0:
+                if dx != 0 and mask_free:
+                    cand = pltpu.roll(cand, dx % w, cand.ndim - 1)
+                    m = pltpu.roll(m, dx % w, m.ndim - 1)
+                elif dx != 0:
                     cand = _lane_shift(cand, dx, lane, inf)
                     m = _lane_shift(m, dx, lane, inf)
-                mp = m + p2e_ref[r, k][None, :].astype(cdt)
+                mp = m + p2e_row[k][None, :].astype(cdt)
                 best = jnp.minimum(cand, mp)
                 # where x-dx is outside, cand=m=INF -> l = cost
                 # (+INF-INF): the golden edge rule, mask-free
@@ -264,7 +293,8 @@ def tr_family_sweep(cost_t: jnp.ndarray, img: jnp.ndarray,
                     img_above2: jnp.ndarray | None = None,
                     img_below2: jnp.ndarray | None = None,
                     row_block: int | None = None,
-                    out_dtype=None):
+                    out_dtype=None,
+                    w_true: int | None = None):
     """One vertical-family pass in transposed layout.
 
     cost_t: (H', L, W') u8 — the CANONICALIZED volume (for horizontal
@@ -278,7 +308,15 @@ def tr_family_sweep(cost_t: jnp.ndarray, img: jnp.ndarray,
 
     init_carry/return_carry expose the (tr_carry_units, L, W') boundary
     state exactly like aggregate_pallas.row_family_sweep (zeros = start
-    of image; a real carry continues across a tile seam)."""
+    of image; a real carry continues across a tile seam).
+
+    w_true: true lane count when the lane axis carries >= max|dx| pad
+    lanes — enables the mask-free shifted directions (see
+    _make_tr_kernel; bit-exact, round 5).  Only valid with the zero
+    initial carry (the single-chip paths): a tile-seam init_carry's pad
+    lanes are not INF_PAD-pinned, so callers with carries pass None."""
+    assert w_true is None or init_carry is None, \
+        "mask-free pads require the zero initial carry"
     assert all(dy > 0 for dy, _ in family) or \
         all(dy < 0 for dy, _ in family), family
     reverse = family[0][0] < 0
@@ -307,7 +345,7 @@ def tr_family_sweep(cost_t: jnp.ndarray, img: jnp.ndarray,
     with_carry = init_carry is not None or return_carry
     kernel, n_units = _make_tr_kernel(canon, nd, w, rb, reverse, nmin,
                                       s_dtype, cdt, inf, scratch_dt,
-                                      n_steps, with_carry, fresh)
+                                      n_steps, with_carry, fresh, w_true)
     blkmap = lambda i: (blk(i), 0, 0)                     # noqa: E731
     in_specs = [
         pl.BlockSpec((rb, nd, w), blkmap),
@@ -735,7 +773,8 @@ def aggregate_paths_tr(cost_hlw: jnp.ndarray, img: jnp.ndarray,
                        s_max: int | None = None,
                        cost_wlh: jnp.ndarray | None = None,
                        major_out: bool = False,
-                       pair_out: bool = False) -> jnp.ndarray:
+                       pair_out: bool = False,
+                       w_true: int | None = None) -> jnp.ndarray:
     """S = sum_r L_r via transposed-layout family sweeps.
 
     cost_hlw: (H, L, W) u8 label-MAJOR cost (L may exceed the true label
@@ -776,15 +815,15 @@ def aggregate_paths_tr(cost_hlw: jnp.ndarray, img: jnp.ndarray,
         if _fresh_enabled():
             s_v = tr_family_sweep(cost_hlw, img, first, p1, p2,
                                   adaptive_p2, None, label_ext,
-                                  out_dtype=s_dtype)
+                                  out_dtype=s_dtype, w_true=w_true)
         else:
             s_v = tr_family_sweep(cost_hlw, img, first, p1, p2,
                                   adaptive_p2,
                                   jnp.zeros((h, nd, w), s_dtype),
-                                  label_ext)
+                                  label_ext, w_true=w_true)
         if down and up:
             s_v = tr_family_sweep(cost_hlw, img, up, p1, p2, adaptive_p2,
-                                  s_v, label_ext)
+                                  s_v, label_ext, w_true=w_true)
 
     s_h = None
     if horiz:

@@ -239,21 +239,24 @@ def _make_hlw_kernel(nd: int, w: int, w_true: int, h_true: int, rb: int,
             valid = (lane + sub < w_true) if right_reference \
                 else (sub <= lane)
             c = jnp.where(valid, acc, invalid_cost)
-            # neutral ZERO cost on the pad rows [h_true, H'): the
-            # vertical sweeps scan across them exactly (start-of-image
-            # semantics up-family; discarded output down-family)
-            c = jnp.where(i * rb + r < h_true, c, 0)
+            # neutral ZERO cost on the pad rows [h_true, H') and pad
+            # lanes [w_true, pad_w): the vertical sweeps scan across pad
+            # rows exactly (start-of-image semantics up-family;
+            # discarded output down-family); pad-lane content is
+            # overridden in-sweep when mask-free pads are active
+            c = jnp.where((i * rb + r < h_true) & (lane < w_true), c, 0)
             out_ref[r] = c.astype(jnp.uint8)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
 def cost_volume_hlw(cen_l: jnp.ndarray, cen_r: jnp.ndarray,
                     max_disp: int, invalid_cost: int = 255,
                     right_reference: bool = False,
                     row_block: int = 8,
-                    strided: bool = False) -> jnp.ndarray:
+                    strided: bool = False,
+                    pad_w: int | None = None) -> jnp.ndarray:
     """(H, W, words) u32 census pair -> (H', D, W) u8 row-scan cost
     volume, H' the 8-multiple row pad; rows [0, H) bit-identical to
     ops/cost.py::cost_volume_stereo_major, pad rows neutral zero (the
@@ -264,26 +267,31 @@ def cost_volume_hlw(cen_l: jnp.ndarray, cen_r: jnp.ndarray,
     strided (round 5, left reference only): the Toeplitz lane shear as
     ONE strided roll per row instead of log2(D) masked rolls — the form
     that lost to the XLA transpose in round 4 (26 ms/dispatch) was the
-    binary shear; see _make_hlw_kernel."""
+    binary shear; see _make_hlw_kernel.
+
+    pad_w: emit (H', D, pad_w) with zero-cost lanes [w, pad_w) — the
+    >= max|dx| pad the mask-free sweeps need (aggregate_tr round 5)."""
     h, w, words = cen_l.shape
     hp = _pad8(h)
+    wp = w if pad_w is None else pad_w
+    assert wp >= w
     nd = max_disp
     rb = row_block
     cen_ref, cen_match = ((cen_r, cen_l) if right_reference
                           else (cen_l, cen_r))
     cl = jnp.transpose(cen_ref, (2, 0, 1))      # (words, H, W)
     cr = jnp.transpose(cen_match, (2, 0, 1))
-    if hp != h:
-        cl = jnp.pad(cl, ((0, 0), (0, hp - h), (0, 0)))
-        cr = jnp.pad(cr, ((0, 0), (0, hp - h), (0, 0)))
-    kernel = _make_hlw_kernel(nd, w, w, h, rb, words, invalid_cost,
+    if hp != h or wp != w:
+        cl = jnp.pad(cl, ((0, 0), (0, hp - h), (0, wp - w)))
+        cr = jnp.pad(cr, ((0, 0), (0, hp - h), (0, wp - w)))
+    kernel = _make_hlw_kernel(nd, wp, w, h, rb, words, invalid_cost,
                               bool(right_reference),
                               strided and not right_reference)
     return pl.pallas_call(
         kernel, grid=(hp // rb,),
-        in_specs=[pl.BlockSpec((words, rb, w),
+        in_specs=[pl.BlockSpec((words, rb, wp),
                                lambda i: (0, i, 0))] * 2,
-        out_specs=pl.BlockSpec((rb, nd, w), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((hp, nd, w), jnp.uint8),
+        out_specs=pl.BlockSpec((rb, nd, wp), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((hp, nd, wp), jnp.uint8),
         interpret=_interpret(),
     )(cl, cr)

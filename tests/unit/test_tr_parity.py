@@ -254,3 +254,26 @@ def test_carry32_scratch_matches(volume, dirs, monkeypatch):
         jnp.zeros_like(cost_hlw, dtype=jnp.int32))
     np.testing.assert_array_equal(
         np.concatenate([np.asarray(sa), np.asarray(sb)]), np.asarray(whole))
+
+
+@pytest.mark.parametrize("dirs", [DIRS_8, DIRS_16])
+@pytest.mark.parametrize("adaptive", [False, True])
+def test_mask_free_pads_exact(volume, dirs, adaptive):
+    """Round-5 mask-free shifted directions: with >= max|dx| zero-cost
+    pad lanes and w_true passed, the roll-without-mask kernel must be
+    bit-identical on the real lanes to the masked kernel on the unpadded
+    volume — for both path sets (dx up to 2) and adaptive P2 (nonzero
+    p2e on the pad lanes exercises the in-kernel p2e zeroing)."""
+    img, _, cost = volume
+    p1, p2 = 7, 60
+    h, w, nd = cost.shape
+    cost_hlw = jnp.asarray(cost.transpose(0, 2, 1), dtype=jnp.uint8)
+    base = ptr.aggregate_paths_tr(cost_hlw, jnp.asarray(img), dirs, p1,
+                                  p2, adaptive, major_out=True)
+    pad = 8  # > max|dx| = 2
+    cost_p = jnp.pad(cost_hlw, ((0, 0), (0, 0), (0, pad)))
+    img_p = jnp.pad(jnp.asarray(img), ((0, 0), (0, pad)), mode="edge")
+    got = ptr.aggregate_paths_tr(cost_p, img_p, dirs, p1, p2, adaptive,
+                                 major_out=True, w_true=w)
+    np.testing.assert_array_equal(np.asarray(got)[:, :, :w],
+                                  np.asarray(base))
