@@ -272,14 +272,16 @@ def _make_tr_kernel(dirs, nd: int, w: int, rb: int, reverse: bool,
 
 
 def _scratch_dt(cdt, carry_dt):
-    """In-kernel carry scratch dtype.  carry_dt (i16 when bounds fit) by
-    default — half the carry VMEM traffic; FSGM_TR_CARRY32=1 keeps the
-    scratch in the compute dtype instead, dropping the i16<->i32
-    conversion on every carry load/store (2 vector ops per direction per
-    row) at 2x carry traffic — an A/B probe separating the op-issue-bound
-    vs VMEM-bandwidth-bound hypotheses (NOTES-PERF).  Exactness is
-    unaffected either way (carry values are bounded by Cmax + P2)."""
-    if os.environ.get("FSGM_TR_CARRY32", "0") == "1":
+    """In-kernel carry scratch dtype.  Compute dtype (i32) by DEFAULT as
+    of round 5: dropping the i16<->i32 conversion on every carry
+    load/store (2 vector ops per direction per row) beat the halved
+    carry VMEM traffic in all three A/B pairs on the round-5 graph
+    (kitti16 7.74/8.13 vs 8.16/8.19, kitti 5.25 vs 5.41 ms/frame —
+    NOTES-PERF round 5; the r3 'neutral' verdict predates the
+    compute-bound regime).  FSGM_TR_CARRY32=0 restores the i16 scratch
+    for A/B.  Exactness is unaffected either way (carry values are
+    bounded by Cmax + P2; test_carry32_scratch_matches)."""
+    if os.environ.get("FSGM_TR_CARRY32", "1") == "1":
         return cdt
     return carry_dt
 
