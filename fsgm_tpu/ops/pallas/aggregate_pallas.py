@@ -271,7 +271,10 @@ def _make_row_sweep_kernel(dirs: Sequence[Tuple[int, int]], w: int, nd: int,
                     prev = sh(chunk, bord)
                     m = sh(mch, mb)
                     nm = sh(nmch, nmb)
-                p2e = p2e_ref[0, k, s0:e0][:, None].astype(cdt)
+                # cast BEFORE the minor-dim insertion: Mosaic only
+                # reshapes 32-bit vectors into a new minor dim (the
+                # round-5 i16 p2e tables trip it otherwise)
+                p2e = p2e_ref[0, k, s0:e0].astype(cdt)[:, None]
                 best = jnp.minimum(jnp.minimum(prev, nm), m + p2e)
                 # No x-edge mask: where the predecessor is outside the
                 # image the whole shifted sublane is INF, so m = best = INF
@@ -391,7 +394,7 @@ def _make_col_sweep_kernel(reverse: bool, nmin: Callable, s_dtype, cdt,
                 m = _lane_min_from_w3(w3)
             else:
                 m, nm = _lane_min(prev, cdt), nmin(prev)
-            p2e = p2e_ref[0, 0, :, c][:, None].astype(cdt)   # (HB, 1)
+            p2e = p2e_ref[0, 0, :, c].astype(cdt)[:, None]   # (HB, 1)
             best = jnp.minimum(jnp.minimum(prev, nm), m + p2e)
             l = cost + best - m
             carry_ref[0, rows] = l.astype(carry_dt)

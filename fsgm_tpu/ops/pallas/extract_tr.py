@@ -135,13 +135,22 @@ def _lr_valid_row(dr, rho, sub, lane, nl: int, w: int, max_diff: int):
     (ops/extract.py::lr_check, ~0.33 ms/frame at KITTI — VERDICT r5 #3).
     Wrapped lanes (x < l) are discarded by the x >= dr mask."""
     wa = -(-w // 128) * 128
-    rho_a = rho if wa == w else jnp.concatenate(
-        [rho, jnp.zeros((1, wa - w), rho.dtype)], axis=1)
-    g = pltpu.roll(jnp.broadcast_to(rho_a, (nl, wa)), 0, 1,
-                   stride=1, stride_axis=0)
-    if wa != w:
-        g = g[:, :w]
-    gsel = sub_min(jnp.where(sub == dr, g, KILL))
+    if wa == w:
+        g = pltpu.roll(jnp.broadcast_to(rho, (nl, w)), 0, 1,
+                       stride=1, stride_axis=0)
+        gsel = sub_min(jnp.where(sub == dr, g, KILL))
+    else:
+        # run the whole select at the aligned width and slice only the
+        # (1, wa) result — slicing the (nl, wa) sheared plane itself
+        # would be a full relayout copy per row
+        rho_a = jnp.concatenate(
+            [rho, jnp.zeros((1, wa - w), rho.dtype)], axis=1)
+        dr_a = jnp.concatenate(
+            [dr, jnp.full((1, wa - w), -1, dr.dtype)], axis=1)
+        sub_a = jax.lax.broadcasted_iota(jnp.int32, (nl, wa), 0)
+        g = pltpu.roll(jnp.broadcast_to(rho_a, (nl, wa)), 0, 1,
+                       stride=1, stride_axis=0)
+        gsel = sub_min(jnp.where(sub_a == dr_a, g, KILL))[:, :w]
     return ((jnp.abs(dr - gsel) <= max_diff)
             & (lane[:1] >= dr)).astype(jnp.int32)
 
