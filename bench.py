@@ -207,14 +207,18 @@ def _stage_roofline(params, h, w, d, backend, iters=32) -> None:
         return run
 
     if backend == "pallas_tr":
-        # Mirror the REAL round-4 pipeline (models/stereo.py pair path):
-        # incremental-shear wlh cost kernel + u8 transpose to the padded
-        # row-scan volume; fresh first-family sweeps; accumulate second
-        # families; fused paired extraction incl. the s_h transpose.
+        # Mirror the REAL round-5 pipeline (models/stereo.py pair path):
+        # strided-shear hlw + incremental-shear wlh cost kernels; fresh
+        # first-family sweeps (mask-free pads, i32 carry scratch);
+        # accumulate second families; fused paired extraction incl. the
+        # in-kernel LR check and the s_h transpose.
         from fsgm_tpu.ops.pallas import cost_tr
         from fsgm_tpu.ops.pallas import aggregate_tr as ptr
         from fsgm_tpu.models.stereo import extract_disparity_kernel
-        hp, wp = -(-h // 8) * 8, -(-w // 8) * 8
+        max_dx = max(abs(dx) for _dy, dx in params.dirs)
+        pad8 = lambda n: -(-n // 8) * 8                  # noqa: E731
+        hp = pad8(h)
+        wp = pad8(w if pad8(w) - w >= max_dx else w + max_dx)
         down = [r for r in params.dirs if r[0] > 0]
         up = [r for r in params.dirs if r[0] < 0]
         fwd = [(dx, 0) for dy, dx in params.dirs if dy == 0 and dx > 0]
@@ -225,19 +229,27 @@ def _stage_roofline(params, h, w, d, backend, iters=32) -> None:
             cr = census_transform(b, params.census_window)
             cwlh = cost_tr.cost_volume_wlh(cl, cr, params.max_disp,
                                            params.invalid_cost)
-            return cwlh, jnp.transpose(cwlh, (2, 1, 0))
+            if cwlh.shape[0] != wp:   # scan-axis pad to the mask-free wp
+                cwlh = jnp.pad(cwlh, ((0, wp - cwlh.shape[0]),
+                                      (0, 0), (0, 0)))
+            chlw = cost_tr.cost_volume_hlw(cl, cr, params.max_disp,
+                                           params.invalid_cost,
+                                           strided=True, pad_w=wp)
+            return cwlh, chlw
         cwlh0, chlw0 = cost_build(il, ir)
         img_p = jnp.pad(il, ((0, hp - h), (0, wp - w)), mode="edge")
         imgt0 = img_p.T
 
-        def sweep(c, g, fams, s, fresh):
+        def sweep(c, g, fams, s, fresh, w_true=None):
             if fresh:
                 return ptr.tr_family_sweep(c, g, fams, params.p1,
                                            params.p2, params.adaptive_p2,
-                                           None, None, out_dtype=s_dtype)
+                                           None, None, out_dtype=s_dtype,
+                                           w_true=w_true)
             return ptr.tr_family_sweep(c, g, fams, params.p1, params.p2,
-                                       params.adaptive_p2, s, None)
-        s_v0 = sweep(chlw0, img_p, down, None, True)
+                                       params.adaptive_p2, s, None,
+                                       w_true=w_true)
+        s_v0 = sweep(chlw0, img_p, down, None, True, w)
         s_h0 = sweep(cwlh0, imgt0, fwd, None, True)
         s_h_t0 = jnp.transpose(sweep(cwlh0, imgt0, bwd, s_h0, False),
                                (2, 1, 0))
@@ -245,18 +257,18 @@ def _stage_roofline(params, h, w, d, backend, iters=32) -> None:
         def salted(c, s8):
             return jnp.clip(c + s8 % 3, 0, 255).astype(jnp.uint8)
         stages = {
-            # kernel build of the column volume + the u8 transpose that
-            # derives the padded row volume (the real r4 build)
+            # both Pallas cost builders (the real r5 build: no XLA
+            # transpose at all)
             "census_cost": (loop(lambda s8, a, b: sum(
                 jnp.sum(v, dtype=jnp.float32)
                 for v in cost_build(a + s8, b + s8))),
                 (il, ir), 4 * vol),
             "agg_down": (loop(lambda s8, c, g: jnp.sum(
-                sweep(salted(c, s8), g, down, None, True)
+                sweep(salted(c, s8), g, down, None, True, w)
                 .astype(jnp.float32))),
                 (chlw0, img_p), fam_bytes),
             "agg_up": (loop(lambda s8, c, g, s: jnp.sum(
-                sweep(salted(c, s8), g, up, s, False)
+                sweep(salted(c, s8), g, up, s, False, w)
                 .astype(jnp.float32))),
                 (chlw0, img_p, s_v0), fam_bytes),
             # fwd fresh + bwd accumulate + the s_h transpose back to
@@ -269,7 +281,7 @@ def _stage_roofline(params, h, w, d, backend, iters=32) -> None:
             "extract": (loop(lambda s8, s_v, s2: jnp.sum(
                 extract_disparity_kernel(
                     s_v + s8.astype(s_dtype), params, s_major2=s2,
-                    h_true=h, w_true=w))),
+                    h_true=h, w_true=w, lr_kernel=True))),
                 (s_v0, s_h_t0), model["extract"]),
         }
     else:
