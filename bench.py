@@ -54,7 +54,9 @@ CONFIGS = {
     # (relay floor amortization; compile ~45 s either way)
     "kitti16": (375, 1242, 128, 16, "kitti_16path_adaptive_throughput",
                 "kitti_16path.json"),
-    "4k":      (2160, 3840, 128, 1, "uhd_stereo_sgm_throughput",
+    # batch 2 (round 5): 84.6 vs 93.8 ms/frame back-to-back — the ~25 ms
+    # relay floor halves; the ~13 GB two-frame live set fits (no OOM)
+    "4k":      (2160, 3840, 128, 2, "uhd_stereo_sgm_throughput",
                 "tiled_4k.json"),
     # flow batch 8: amortizes the ~29 ms relay dispatch floor to ~3.6 ms/
     # frame (batch 2 left ~14.5 ms/frame of pure dispatch in the metric)
@@ -228,10 +230,8 @@ def _stage_roofline(params, h, w, d, backend, iters=32) -> None:
             cl = census_transform(a, params.census_window)
             cr = census_transform(b, params.census_window)
             cwlh = cost_tr.cost_volume_wlh(cl, cr, params.max_disp,
-                                           params.invalid_cost)
-            if cwlh.shape[0] != wp:   # scan-axis pad to the mask-free wp
-                cwlh = jnp.pad(cwlh, ((0, wp - cwlh.shape[0]),
-                                      (0, 0), (0, 0)))
+                                           params.invalid_cost,
+                                           pad_w=wp)
             chlw = cost_tr.cost_volume_hlw(cl, cr, params.max_disp,
                                            params.invalid_cost,
                                            strided=True, pad_w=wp)

@@ -75,9 +75,18 @@ def _s_volume_tr(cen_l: jnp.ndarray, cen_r: jnp.ndarray, img: jnp.ndarray,
         # get rb=8 row blocks, and kernel extraction slices rows/lanes
         # back (h_true/w_true).
         from fsgm_tpu.ops.pallas import cost_tr
+        # lane/scan pad >= the largest |dx| in the direction set enables
+        # the sweeps' mask-free shifted directions (aggregate_tr round
+        # 5); BOTH cost kernels emit the padded width directly — the
+        # downstream XLA pad pass cost 3.2 ms/frame at 4K
+        w_img = img.shape[1]
+        max_dx = max(abs(dx) for _dy, dx in params.dirs)
+        pad8 = lambda n: -(-n // 8) * 8                  # noqa: E731
+        pad_w = pad8(w_img if pad8(w_img) - w_img >= max_dx
+                     else w_img + max_dx)
         cost_wlh = cost_tr.cost_volume_wlh(
             cen_l, cen_r, params.max_disp, params.invalid_cost,
-            right_reference)
+            right_reference, pad_w=pad_w)
         # 'stride' default (round 5): the row-scan volume from one
         # strided-roll shear per row — measured 5.41/5.37 vs 5.77-6.19
         # ms/frame for the u8-transpose derivation (back-to-back KITTI
@@ -85,13 +94,6 @@ def _s_volume_tr(cen_l: jnp.ndarray, cen_r: jnp.ndarray, img: jnp.ndarray,
         # transpose the r4 trace flagged.  The r4 'kernel' binary shear
         # (26 ms/dispatch) stays for A/B; 'transpose' pins the XLA copy.
         hlw_mode = os.environ.get("FSGM_COST_HLW", "stride")
-        w_img = img.shape[1]
-        # lane pad >= the largest |dx| in the direction set enables the
-        # sweeps' mask-free shifted directions (aggregate_tr round 5)
-        max_dx = max(abs(dx) for _dy, dx in params.dirs)
-        pad8 = lambda n: -(-n // 8) * 8                  # noqa: E731
-        pad_w = pad8(w_img if pad8(w_img) - w_img >= max_dx
-                     else w_img + max_dx)
         if hlw_mode in ("kernel", "stride") and not right_reference:
             cost_hlw = cost_tr.cost_volume_hlw(
                 cen_l, cen_r, params.max_disp, params.invalid_cost,

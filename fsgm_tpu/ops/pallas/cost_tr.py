@@ -102,18 +102,28 @@ def _make_wlh_kernel(nd: int, hp: int, h_true: int, w_true: int, rb: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def cost_volume_wlh(cen_l: jnp.ndarray, cen_r: jnp.ndarray,
                     max_disp: int, invalid_cost: int = 255,
                     right_reference: bool = False,
-                    row_block: int = 8) -> jnp.ndarray:
+                    row_block: int = 8,
+                    pad_w: int | None = None) -> jnp.ndarray:
     """(H, W, words) u32 census pair -> (W', D, H') u8 PRE-PADDED
     column-scan cost volume (W'/H' = 8-multiples, pad region zero).
     Equal to jnp.transpose(cost_volume_stereo_major[...], (2, 1, 0))
     padded with zeros.  reference semantics: left unless
-    right_reference (then C[y,d,x] matches at x+d)."""
+    right_reference (then C[y,d,x] matches at x+d).
+
+    pad_w: emit W' = pad_w scan rows (>= the 8-multiple) — the extra
+    rows are neutral zero via the kernel's own x < w_true mask, so the
+    mask-free lane pad costs one grid step here instead of a
+    full-volume XLA pad pass downstream (the round-5 4K trace showed
+    that pad at 3.2 ms/frame)."""
     h, w, words = cen_l.shape
     hp, wp = _pad8(h), _pad8(w)
+    if pad_w is not None:
+        assert pad_w >= wp and pad_w % row_block == 0, (pad_w, wp)
+        wp = pad_w
     nd = max_disp
     rb = row_block
     n_steps = wp // rb
