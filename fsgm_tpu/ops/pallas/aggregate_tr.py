@@ -556,7 +556,8 @@ def _fresh_enabled() -> bool:
 @_ft.lru_cache(maxsize=None)
 def _hfamily_sweep_cv_fresh(family: Tuple[Tuple[int, int], ...], p1: int,
                             p2: int, adaptive_p2: bool,
-                            label_ext: int | None, out_dtype_name: str):
+                            label_ext: int | None, out_dtype_name: str,
+                            row_block: int | None = None):
     """Fresh-mode counterpart of _hfamily_sweep_cv: (cost_t, img) -> S
     with no accumulator input.  Same lane-fold batching rule."""
     assert all(dx == 0 for _, dx in family), family
@@ -565,7 +566,7 @@ def _hfamily_sweep_cv_fresh(family: Tuple[Tuple[int, int], ...], p1: int,
     def base(cost_t, img):
         return tr_family_sweep(cost_t, img, list(family), p1, p2,
                                adaptive_p2, None, label_ext,
-                               out_dtype=out_dtype)
+                               out_dtype=out_dtype, row_block=row_block)
 
     cv = jax.custom_batching.custom_vmap(base)
 
@@ -594,7 +595,8 @@ def _hfamily_sweep_cv_fresh(family: Tuple[Tuple[int, int], ...], p1: int,
 
 @_ft.lru_cache(maxsize=None)
 def _hfamily_sweep_cv(family: Tuple[Tuple[int, int], ...], p1: int,
-                      p2: int, adaptive_p2: bool, label_ext: int | None):
+                      p2: int, adaptive_p2: bool, label_ext: int | None,
+                      row_block: int | None = None):
     """custom_vmap'd horizontal-family sweep: under jax.vmap, FOLD the
     batch into the lane axis instead of serializing the Pallas grid.
 
@@ -614,7 +616,8 @@ def _hfamily_sweep_cv(family: Tuple[Tuple[int, int], ...], p1: int,
 
     def base(cost_t, img, s_t):
         return tr_family_sweep(cost_t, img, list(family), p1, p2,
-                               adaptive_p2, s_t, label_ext)
+                               adaptive_p2, s_t, label_ext,
+                               row_block=row_block)
 
     cv = jax.custom_batching.custom_vmap(base)
 
@@ -847,6 +850,12 @@ def aggregate_paths_tr(cost_hlw: jnp.ndarray, img: jnp.ndarray,
         imgt = jnp.pad(img, ((0, hp - h), (0, wp - w)), mode="edge").T
         fwd = [(dx, 0) for dy, dx in horiz if dx > 0]
         bwd = [(dx, 0) for dy, dx in horiz if dx < 0]
+        # Horizontal scans run W grid steps (1248 at KITTI vs the
+        # verticals' 376) — probe a taller row block to amortize
+        # per-step overhead on the long chain: FSGM_TR_RBH (must divide
+        # the padded W; falls back to the default rb otherwise).
+        rbh = env_int("FSGM_TR_RBH", 0)
+        rbh = rbh if rbh > 0 and wp % rbh == 0 else None
         if fwd and bwd and _dual_enabled():
             s_h = tr_dual_family_sweep(cost_wlh, imgt, fwd, bwd, p1, p2,
                                        adaptive_p2, s_dtype, label_ext)
@@ -858,16 +867,17 @@ def aggregate_paths_tr(cost_hlw: jnp.ndarray, img: jnp.ndarray,
             # FSGM_HFOLD=0 pins the plain serialized sweep for A/B.
             if os.environ.get("FSGM_HFOLD", "1") == "0":
                 sweep = lambda f: (lambda c, g, s: tr_family_sweep(  # noqa
-                    c, g, list(f), p1, p2, adaptive_p2, s, label_ext))
+                    c, g, list(f), p1, p2, adaptive_p2, s, label_ext,
+                    row_block=rbh))
                 fresh_sweep = lambda f: (lambda c, g: tr_family_sweep(  # noqa
                     c, g, list(f), p1, p2, adaptive_p2, None, label_ext,
-                    out_dtype=s_dtype))
+                    out_dtype=s_dtype, row_block=rbh))
             else:
                 sweep = lambda f: _hfamily_sweep_cv(  # noqa: E731
-                    tuple(f), p1, p2, adaptive_p2, label_ext)
+                    tuple(f), p1, p2, adaptive_p2, label_ext, rbh)
                 fresh_sweep = lambda f: _hfamily_sweep_cv_fresh(  # noqa
                     tuple(f), p1, p2, adaptive_p2, label_ext,
-                    jnp.dtype(s_dtype).name)
+                    jnp.dtype(s_dtype).name, rbh)
             first = fwd if fwd else bwd
             if _fresh_enabled():
                 s_h = fresh_sweep(first)(cost_wlh, imgt)
