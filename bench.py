@@ -466,6 +466,29 @@ def main() -> None:
           f"vs_SoL={mpds / SOL_MPDS:.1%}{sol_tag}", file=sys.stderr)
     _regression_guard(cfg, dt)
 
+    sustained_k = int(os.environ.get("FSGM_BENCH_SUSTAINED", "0"))
+    if sustained_k > 0:
+        # Serving-throughput probe: enqueue K dispatches back-to-back
+        # (async JAX dispatch, distinct salts so the relay cannot memoize)
+        # and fetch only at the end.  The per-dispatch timing above pays
+        # the full relay round trip every rep; a deployment (cli serve,
+        # video mode) keeps the queue non-empty, so the dispatch floor
+        # overlaps device execution.  This measures how much of that
+        # floor the relay actually hides — the number the "pipelining
+        # amortizes the floor" notes previously asserted without measuring.
+        outs = []
+        t0 = time.perf_counter()
+        for k in range(sustained_k):
+            outs.append(run(a, b, jnp.uint8(100 + k)))
+        for o in outs:  # fetch everything (block_until_ready is
+            float(o)    # unreliable through the relay; see module doc)
+        sus_dt = (time.perf_counter() - t0) / (sustained_k * batch)
+        sus_mpds = label_px / sus_dt / 1e6
+        print(f"# sustained: {sustained_k} queued dispatches, "
+              f"{sus_dt*1e3:.2f} ms/frame ({sus_mpds:.0f} Mpd/s, "
+              f"vs_SoL={sus_mpds / SOL_MPDS:.1%}{sol_tag}); "
+              f"blocking-mode {dt*1e3:.2f}", file=sys.stderr)
+
     trace_dir = os.environ.get("FSGM_BENCH_TRACE")
     if trace_dir:
         # One profiled dispatch of the exact timed computation (salted so
