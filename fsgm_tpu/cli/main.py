@@ -215,11 +215,54 @@ def cmd_serve(args) -> int:
     from fsgm_tpu.io.images import load_gray
     from fsgm_tpu.io import kitti
 
+    from collections import deque
+
     be = _backend(args.backend)
     sp = _params_from_args(args, SGMParams)
     fp = _params_from_args(args, FlowParams)
+    pipeline = max(0, int(getattr(args, "pipeline", 0) or 0))
     print(json.dumps({"serving": True, "backend": be}), flush=True)
     served = 0
+    # --pipeline K: single-pair requests dispatch asynchronously (JAX
+    # async dispatch — the device result is NOT fetched yet) and park
+    # here; results are fetched/written once K newer dispatches are in
+    # flight, so the per-request host+relay round trip overlaps device
+    # execution.  Responses drain FIFO, preserving request order.
+    # wall_s then includes the queue dwell (dispatch -> drain).
+    pending = deque()  # (rid, t0, finish) with finish() -> resp dict
+
+    def _drain(keep: int) -> None:
+        nonlocal served
+        while len(pending) > keep:
+            prid, pt0, finish = pending.popleft()
+            try:
+                presp = finish()
+                presp["wall_s"] = round(time.perf_counter() - pt0, 4)
+            except Exception as e:
+                presp = {"id": prid, "error": f"{type(e).__name__}: {e}"}
+            print(json.dumps(presp), flush=True)
+            served += 1
+
+    def _finish_stereo(rid, out, disp_dev):
+        def finish():
+            disp = np.asarray(disp_dev)
+            kitti.write_disparity_png(out, disp)
+            return {"id": rid, "out": str(out),
+                    "density": round(float((disp >= 0).mean()), 4)}
+        return finish
+
+    def _finish_flow(rid, out, flow_dev, valid_dev):
+        def finish():
+            flow, valid = np.asarray(flow_dev), np.asarray(valid_dev)
+            if out.suffix == ".flo":
+                kitti.write_flo(out, np.where(valid[..., None], flow, 0))
+            else:
+                kitti.write_flow_png(out, np.where(valid[..., None],
+                                                   flow, 0), valid)
+            return {"id": rid, "out": str(out),
+                    "valid_frac": round(float(valid.mean()), 4)}
+        return finish
+
     for line in sys.stdin:
         line = line.strip()
         if not line:
@@ -227,9 +270,30 @@ def cmd_serve(args) -> int:
         req = None
         try:
             req = json.loads(line)
-            rid = req.get("id", served)
+            rid = req.get("id", served + len(pending))
             out = Path(req["out"]) if "out" in req else None
             t0 = time.perf_counter()
+            if pipeline and req["task"] in ("stereo", "flow"):
+                if req["task"] == "stereo":
+                    il = load_gray(req["left"])
+                    ir = load_gray(req["right"])
+                    disp_dev = stereo_sgm(jnp.asarray(il),
+                                          jnp.asarray(ir), sp, be)
+                    pending.append((rid, t0,
+                                    _finish_stereo(rid, out, disp_dev)))
+                else:
+                    i1 = load_gray(req["first"])
+                    i2 = load_gray(req["second"])
+                    fl_dev, va_dev = flow_fsgm(jnp.asarray(i1),
+                                               jnp.asarray(i2), fp, be)
+                    pending.append((rid, t0,
+                                    _finish_flow(rid, out, fl_dev,
+                                                 va_dev)))
+                _drain(pipeline)
+                continue
+            # batch/sync tasks: drain everything first so responses stay
+            # in request order
+            _drain(0)
             if req["task"] == "stereo":
                 il = load_gray(req["left"])
                 ir = load_gray(req["right"])
@@ -304,11 +368,14 @@ def cmd_serve(args) -> int:
             resp["wall_s"] = round(time.perf_counter() - t0, 4)
         except Exception as e:  # per-request fault isolation
             # req is None when json.loads itself failed — never attribute
-            # the error to a previous request's id
+            # the error to a previous request's id.  Drain any in-flight
+            # pipelined requests first so responses stay in order.
+            _drain(0)
             resp = {"id": req.get("id", served) if isinstance(req, dict)
                     else served, "error": f"{type(e).__name__}: {e}"}
         print(json.dumps(resp), flush=True)
         served += 1
+    _drain(0)
     print(json.dumps({"served": served}), flush=True)
     return 0
 
@@ -704,6 +771,13 @@ def main(argv=None) -> int:
     svp.add_argument("--p1", type=int); svp.add_argument("--p2", type=int)
     svp.add_argument("--backend", default="auto",
                      choices=["auto", "xla", "pallas"])
+    svp.add_argument("--pipeline", type=int, default=0, metavar="K",
+                     help="dispatch up to K single-pair requests ahead "
+                     "before fetching results (responses stay in request "
+                     "order; 0 = fetch per request). Overlaps the "
+                     "per-dispatch host/relay round trip with device "
+                     "execution — measured 5.5 -> 3.9 ms/frame KITTI "
+                     "stereo at K=8 (NOTES-PERF 'Sustained')")
     svp.set_defaults(fn=cmd_serve)
 
     dp = sub.add_parser("demo", help="synthetic end-to-end smoke run")

@@ -170,6 +170,64 @@ def test_cli_serve_loop(tmp_path):
             _k.read_disparity_png(tmp_path / nm), single)
 
 
+def test_cli_serve_pipeline(tmp_path):
+    """`serve --pipeline K` dispatches single-pair requests ahead of the
+    fetch (JAX async dispatch) but must preserve response order, fault
+    isolation, and bit-identical outputs vs the synchronous loop — the
+    batch task and errors force a drain first."""
+    from fsgm_tpu.io.synthetic import random_dot_stereo, constant_flow_pair
+    from fsgm_tpu.io.images import save_gray
+    repo = Path(__file__).resolve().parents[2]
+    il, ir, _ = random_dot_stereo(24, 32, 8, seed=0)
+    i1, i2, _ = constant_flow_pair(24, 32, 1, -1, seed=1)
+    for name, img in (("l", il), ("r", ir), ("a", i1), ("b", i2)):
+        save_gray(tmp_path / f"{name}.png", img)
+    reqs = [
+        {"task": "stereo", "id": "s0", "left": str(tmp_path / "l.png"),
+         "right": str(tmp_path / "r.png"), "out": str(tmp_path / "d0.png")},
+        {"task": "stereo", "id": "s1", "left": str(tmp_path / "l.png"),
+         "right": str(tmp_path / "r.png"), "out": str(tmp_path / "d1.png")},
+        {"task": "flow", "id": "f0", "first": str(tmp_path / "a.png"),
+         "second": str(tmp_path / "b.png"),
+         "out": str(tmp_path / "f.png")},
+        # bad path arrives while two requests are still in flight: the
+        # error record must come AFTER their responses, not before
+        {"task": "stereo", "id": "bad", "left": str(tmp_path / "no.png"),
+         "right": str(tmp_path / "r.png"), "out": str(tmp_path / "x.png")},
+        {"task": "stereo_batch", "id": "sb",
+         "pairs": [[str(tmp_path / "l.png"), str(tmp_path / "r.png"),
+                    str(tmp_path / "db.png")]]},
+        {"task": "stereo", "id": "s2", "left": str(tmp_path / "l.png"),
+         "right": str(tmp_path / "r.png"), "out": str(tmp_path / "d2.png")},
+    ]
+    env = dict(os.environ, PYTHONPATH=str(repo), JAX_PLATFORMS="cpu")
+    pre = ("import jax; jax.config.update('jax_platforms','cpu');"
+           "from fsgm_tpu.cli.main import main; import sys;"
+           "sys.exit(main(sys.argv[1:]))")
+    cmd = [sys.executable, "-c", pre, "serve", "--max-disp", "8",
+           "--search-radius", "2", "--levels", "2", "--backend", "xla",
+           "--pipeline", "2"]
+    inp = "\n".join(json.dumps(r) for r in reqs) + "\n"
+    r = subprocess.run(cmd, env=env, cwd=repo, input=inp,
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    recs = [json.loads(ln) for ln in r.stdout.strip().splitlines()]
+    assert recs[0]["serving"] and recs[-1]["served"] == 6
+    body = recs[1:-1]
+    assert [x["id"] for x in body] == ["s0", "s1", "f0", "bad", "sb",
+                                       "s2"]
+    assert "error" in body[3] and "out" in body[0] and "out" in body[2]
+    # pipelined outputs == the single-dispatch outputs (d0 == d1 == d2
+    # == the batch's db over identical inputs)
+    from fsgm_tpu.io import kitti as _k
+    d0 = _k.read_disparity_png(tmp_path / "d0.png")
+    for nm in ("d1.png", "d2.png", "db.png"):
+        np.testing.assert_array_equal(
+            _k.read_disparity_png(tmp_path / nm), d0)
+    flo, valid = _k.read_flow_png(tmp_path / "f.png")
+    assert flo.shape == (24, 32, 2) and valid.any()
+
+
 def test_densify_flow():
     """Devkit-style densification: invalid pixels take the nearest valid
     LEFT neighbor (else right); valid pixels and all-invalid rows are
