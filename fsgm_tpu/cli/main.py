@@ -26,14 +26,17 @@ from pathlib import Path
 import numpy as np
 
 
-def _params_from_args(args, cls):
+def _params_from_args(args, cls, fallback_default=False):
     from fsgm_tpu import params as P
     if getattr(args, "preset", None):
         preset = P.load_preset(args.preset)
         for v in preset.values():
             if isinstance(v, cls):
                 return v
-        raise SystemExit(f"preset {args.preset} has no {cls.__name__}")
+        if not fallback_default:
+            raise SystemExit(f"preset {args.preset} has no {cls.__name__}")
+        # serve needs BOTH param kinds but presets usually hold one:
+        # fall through to CLI-arg/default construction for the other
     fields = {f.name for f in dataclasses.fields(cls)}
     kw = {k: v for k, v in vars(args).items() if k in fields and v is not None}
     if "census_window" in kw:
@@ -218,8 +221,10 @@ def cmd_serve(args) -> int:
     from collections import deque
 
     be = _backend(args.backend)
-    sp = _params_from_args(args, SGMParams)
-    fp = _params_from_args(args, FlowParams)
+    # a preset usually holds ONE param kind; serve needs both, so the
+    # missing one falls back to CLI-arg/default construction
+    sp = _params_from_args(args, SGMParams, fallback_default=True)
+    fp = _params_from_args(args, FlowParams, fallback_default=True)
     pipeline = max(0, int(getattr(args, "pipeline", 0) or 0))
     print(json.dumps({"serving": True, "backend": be}), flush=True)
     served = 0
